@@ -1,0 +1,242 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §2.5).
+
+Four strategies, all shaped for 100 TB:
+
+- exact: hash-groupBy on a content fingerprint. One shuffle on a
+  well-distributed md5 key; the canonical-survivor choice (min doc_id) makes
+  output deterministic.
+- MinHash + LSH banding: shingle → k minhashes → band buckets → candidate
+  pairs only within buckets → exact Jaccard verify. The signature math is
+  pure Catalyst (xxhash64 over shingles — JVM, no Python), so the only
+  shuffle is the band-bucket self-join, which is how the pair space stays
+  sub-quadratic at scale.
+- SimHash: token-hash bit-vote fingerprint; near-dup candidates share a
+  16-bit band (4 bands ⇒ finds all pairs within Hamming distance 3).
+- n-gram Jaccard: the exact verifier, exposed as its own operator.
+
+Exact/ngram ops are DuckDB-oracle-checked; minhash/simhash use engine hashes
+(xxhash64) that DuckDB doesn't expose → rows-only checks plus pytest
+invariants (reference has no dedup at all; design follows the standard
+MinHash-LSH construction from Broder '97 / MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import op
+
+C = F.col
+
+NUM_HASHES = 32          # minhash signature length
+BANDS = 8                # 8 bands × 4 rows: catches pairs from J≈0.5 up
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def normalized_tokens(text: Column) -> Column:
+    """Lowercased alnum tokens (empty strings filtered)."""
+    toks = F.split(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), " ")
+    return F.filter(toks, lambda t: t != "")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles, JVM-side (transform over an index range)."""
+    toks = normalized_tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """k independent minhashes: min over shingles of xxhash64(shingle, seed).
+
+    xxhash64 is a Spark built-in (JVM, codegen) — the whole signature is one
+    projection, no UDF, no shuffle.
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return inter / union
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification."""
+    sig = (
+        df.select(C(id_col).alias("id"), word_shingles(C(text_col)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(C("sh")))
+    )
+    bands = sig.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[C("sig").getItem(b * ROWS_PER_BAND + r)
+                             for r in range(ROWS_PER_BAND)]).alias("bh"),
+            )
+            for b in range(BANDS)
+        ])).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    a = bands.select(C("id").alias("a_id"), C("sh").alias("a_sh"), "band", "bh")
+    b = bands.select(C("id").alias("b_id"), C("sh").alias("b_sh"), "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(C("a_id") < C("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    j = jaccard(C("a_sh"), C("b_sh"))
+    return (
+        pairs.filter(j >= jaccard_threshold)
+        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+    )
+
+
+def simhash_bands(text: Column) -> Column:
+    """SimHash as 4×16-bit band values (array<bigint> of length 4).
+
+    Per-token xxhash64 → per-bit ±1 votes folded in one JVM aggregate over
+    the token array (no explode, no shuffle — a pure per-row projection);
+    positive vote → bit set. Kept as 16-bit bands rather than one int64:
+    bands are exactly what LSH blocking joins on, and assembling the high
+    bit of an int64 would overflow under ANSI mode.
+    """
+    toks = normalized_tokens(text)
+    # votes[i] ∈ [-|toks|, |toks|]: +1 when bit i of the token hash is set.
+    def bit_votes(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(64)
+        ])
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(16)])
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(F.slice(votes, b * 16 + 1, 16), pow2,
+                       lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for b in range(4)
+    ])
+
+
+def hamming_bands(a: Column, b: Column) -> Column:
+    """Hamming distance between two band arrays (Σ popcount per band)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band join guarantees recall for
+    Hamming ≤ 3 (pigeonhole), then exact Hamming verify."""
+    sh = df.select(C(id_col).alias("id"), simhash_bands(C(text_col)).alias("sh"))
+    bands = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), C("sh").getItem(b).alias("bh"))
+            for b in range(4)
+        ])).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    a = bands.select(C("id").alias("a_id"), C("sh").alias("a_sh"), "band", "bh")
+    b = bands.select(C("id").alias("b_id"), C("sh").alias("b_sh"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(C("a_id") < C("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming_bands(C("a_sh"), C("b_sh")))
+        .filter(C("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ------------------------------------------------------------ registrations
+
+@op("ext_dedup_exact", oracle=r"""
+    SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT)   AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_copies
+    FROM documents
+    GROUP BY 1
+""")
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint;
+    survivor = min doc_id (deterministic canonical choice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")), "utf-8"))
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@op("ext_dedup_minhash")  # rows-only: xxhash64 signatures aren't in DuckDB
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup over documents (J ≥ 0.5 verified pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "doc_id", "text", jaccard_threshold=0.5) \
+        .orderBy("a_id", "b_id")
+
+
+@op("ext_dedup_simhash")  # rows-only: xxhash64-based
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fuzzy dedup over documents (Hamming ≤ 3 pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3) \
+        .orderBy("a_id", "b_id")
+
+
+@op("ext_dedup_ngram", oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+'), i, i + 2), ' ')
+               )) AS grams
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""")
+def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard (the verifier behind MinHash), demonstrated
+    on adjacent doc pairs so the oracle stays linear-size."""
+    docs = load_table(spark, sf_dir, "documents").filter(C("doc_id") < 200)
+    grams = docs.select(C("doc_id"), word_shingles(C("text"), 3).alias("grams"))
+    a = grams.select(C("doc_id").alias("a_id"), C("grams").alias("a_g"))
+    b = grams.select(C("doc_id").alias("b_id"), C("grams").alias("b_g"))
+    return (
+        a.join(b, C("b_id") == C("a_id") + 1)
+        .select("a_id", "b_id",
+                F.round(jaccard(C("a_g"), C("b_g")), 6).alias("jaccard"))
+    )

@@ -1,0 +1,255 @@
+"""Concrete reference operators (SURVEY.md §2.1) as verified queries.
+
+Ingest/bronze/serve are *effectful* ops, so their query registrations are
+round-trips: write a fixture table out through the op, read it back, return
+the DataFrame — the DuckDB oracle is simply the original table, proving the
+op is lossless. Scratch space lives under the repo's .tmp/ dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..agent import TransformationAgent
+from ..catalog import load_table
+from ..plans.dialect import sql_exec
+from ..registry import op
+from ..serving import bar_chart_data, preview, serve_csv, serve_json
+from ..sources.bronze import read_bronze, write_bronze
+from ..sources.ingest import IngestError, ingest
+
+C = F.col
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+if not os.path.isdir(_TMP):  # __file__ may live elsewhere when installed
+    _TMP = "/root/repo/.tmp"
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(_TMP, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+# ------------------------------------------------------------------ ingest
+
+@op("ingest_csv", oracle="SELECT * FROM customer")
+def ingest_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV files → distributed CSV read with explicit schema.
+
+    Lossless round-trip: Spark writes doubles as shortest-repr strings which
+    parse back to the identical double.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch("ingest_csv", "customer.csv")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    return ingest(spark, path, "csv", schema=cust.schema)
+
+
+@op("ingest_json", oracle="SELECT * FROM nation")
+def ingest_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → JSON-lines files → distributed JSON read with schema."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch("ingest_json", "nation.json")
+    nation.write.mode("overwrite").json(path)
+    return ingest(spark, path, "json", schema=nation.schema)
+
+
+@op("ingest_excel")  # rows-only: openpyxl is an optional dep (engine.py:25)
+def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel round-trip when openpyxl is present; else a capability marker.
+
+    Excel has no distributed reader (driver-side pandas by design — files
+    are interactive-upload sized, SURVEY.md §7 risk 2).
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    path = _scratch("ingest_excel", "supplier.xlsx")
+    try:
+        import openpyxl  # noqa: F401
+
+        supp.toPandas().to_excel(path, index=False)
+        out = ingest(spark, path, "excel", schema=supp.schema)
+        return out.withColumn("excel_available", F.lit(True))
+    except ImportError:
+        return spark.createDataFrame(
+            [(False, "openpyxl not installed; op gated per SURVEY §7 risk 2")],
+            "excel_available boolean, note string",
+        )
+
+
+@op("ingest_pdf")  # rows-only: content derives from binary payloads, not SQL
+def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-PDF ingestion: 3 page-separated text payloads → binaryFile source
+    → mapInPandas page exploder → one row per (file, page).
+
+    pypdf is optional; the deterministic fallback splits UTF-8 payloads on
+    form-feed, keeping the distributed plumbing (binaryFile, Arrow batches,
+    schema) real and testable (see sources/ingest.py).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id").limit(3).select("doc_id", "text").collect()
+    )
+    pdf_dir = _scratch("ingest_pdf", "x") and os.path.join(_TMP, "ingest_pdf")
+    for r in docs:
+        words = r["text"].split(" ")
+        mid = max(1, len(words) // 2)
+        payload = " ".join(words[:mid]) + "\f" + " ".join(words[mid:])
+        with open(os.path.join(pdf_dir, f"doc_{r['doc_id']}.pdf"), "wb") as f:
+            f.write(payload.encode("utf-8"))
+    out = ingest(spark, pdf_dir, "pdf")
+    return out.select(
+        F.element_at(F.split(C("path"), "/"), -1).alias("file"),
+        "page",
+        F.length("content").alias("content_len"),
+        F.md5(F.encode(C("content"), "utf-8")).alias("content_md5"),
+    )
+
+
+@op("ingest_error")  # rows-only: verifies the raise-don't-return contract
+def ingest_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown format and unreadable file both raise RuntimeError
+    (engine.py:34-37); emitted here as a checkable truth table."""
+    def raises(fn) -> bool:
+        try:
+            fn()
+            return False
+        except RuntimeError:
+            return True
+
+    cases = [
+        ("unsupported_format", raises(
+            lambda: ingest(spark, "/nonexistent", "avrocsv"))),
+        ("unreadable_file", raises(
+            lambda: ingest(spark, "/nonexistent/nope.csv", "csv").collect())),
+        ("ingest_error_is_runtime_error", issubclass(IngestError, RuntimeError)),
+    ]
+    return spark.createDataFrame(cases, "case string, raised boolean")
+
+
+# ------------------------------------------------------------------ bronze
+
+@op("write_bronze", oracle="SELECT * FROM supplier")
+def write_bronze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → partitioned parquet bronze → read back (lossless)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    lake = _scratch("lake", "x") and os.path.join(_TMP, "lake")
+    write_bronze(supp, lake, "supplier_rt")
+    return spark.read.parquet(os.path.join(lake, "supplier_rt"))
+
+
+@op("read_bronze", oracle="SELECT * FROM part")
+def read_bronze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_bronze round-trip; the empty-on-missing contract (engine.py:52-56)
+    is pytest-covered (tests/test_sources.py)."""
+    part = load_table(spark, sf_dir, "part")
+    lake = _scratch("lake", "x") and os.path.join(_TMP, "lake")
+    write_bronze(part, lake, "part_rt")
+    return read_bronze(spark, lake, "part_rt")
+
+
+# ------------------------------------------------------------------- sql
+
+_SQL_EXEC_QUERY = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM CURRENT_TABLE
+    GROUP BY l_returnflag
+"""
+
+
+@op("sql_exec", oracle=_SQL_EXEC_QUERY.replace("CURRENT_TABLE", "lineitem"))
+def sql_exec_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary SQL against the CURRENT_TABLE binding (engine.py:58-63):
+    the same query text runs on Spark (view binding) and DuckDB (path
+    substitution — exactly the reference's trick)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return sql_exec(spark, _SQL_EXEC_QUERY, df=li)
+
+
+# ------------------------------------------------------------------ NL agent
+
+@op("nl_transform", oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, email
+    FROM (
+        SELECT customer.*,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN regexp_replace(lower(c_name), '[^a-z0-9]', '')
+                    ELSE regexp_replace(lower(c_name), '[^a-z0-9]', '')
+                         || '@example.com' END AS email
+        FROM customer
+    )
+    WHERE regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+""")
+def nl_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL rule → deterministic compiler → DataFrame op (EP2 lifecycle,
+    SURVEY.md §3). The rule description is matched against the catalog; no
+    LLM needed for the canonical four."""
+    from .rules import _customers_with_email
+
+    df = _customers_with_email(spark, sf_dir)
+    agent = TransformationAgent(llm=None)
+    return agent.apply_business_rule(
+        spark, df, "Remove rows with invalid email formats")
+
+
+@op("nl_fallback", oracle="""
+    SELECT * FROM customer ORDER BY c_custkey LIMIT 10
+""")
+def nl_fallback_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless keyword fallback: 'filter' in the rule text → first 10 rows
+    (agent.py:53-58), with a pinned total order for determinism."""
+    cust = load_table(spark, sf_dir, "customer")
+    agent = TransformationAgent(llm=None)
+    return agent.apply_business_rule(spark, cust, "filter the recent rows please")
+
+
+# ------------------------------------------------------------------ serving
+
+@op("serve_json", oracle="SELECT * FROM orders ORDER BY o_orderkey LIMIT 5")
+def serve_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-5-rows JSON serving (app.py:229-231). serve_json returns
+    records; re-materialized here as a DataFrame for the oracle check."""
+    orders = load_table(spark, sf_dir, "orders")
+    records = serve_json(orders, order_by=["o_orderkey"], n=5)
+    return spark.createDataFrame(records, schema=orders.schema)
+
+
+@op("serve_csv", oracle="SELECT * FROM nation")
+def serve_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-dataset CSV download bytes (app.py:246-248), parsed back."""
+    import io
+
+    import pandas as pd
+
+    nation = load_table(spark, sf_dir, "nation")
+    payload = serve_csv(nation, order_by=["n_nationkey"])
+    pdf = pd.read_csv(io.BytesIO(payload))
+    out = spark.createDataFrame(pdf)
+    return out.select(
+        *[C(f.name).cast(f.dataType).alias(f.name) for f in nation.schema.fields]
+    )
+
+
+@op("viz_bar", oracle="""
+    SELECT o_orderpriority AS x,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y_sum
+    FROM orders GROUP BY o_orderpriority
+""")
+def viz_bar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar-chart data: category vs exact sum (app.py:234-241 semantics)."""
+    return bar_chart_data(load_table(spark, sf_dir, "orders"),
+                          x="o_orderpriority", y="o_totalprice")
+
+
+@op("preview", oracle="""
+    SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10
+""")
+def preview_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head(10) preview with pinned order (app.py:107,111-113)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return preview(li, order_by=["l_orderkey", "l_linenumber"], n=10)

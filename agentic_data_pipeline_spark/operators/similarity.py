@@ -1,0 +1,235 @@
+"""Vector index / search (reference engine.py:66-98) + similarity extensions.
+
+The reference delegates embedding + ANN to ChromaDB (sentence-transformers
+model, batched adds of 100, engine.py:86-93). Spark-first equivalents:
+
+- `vector_index`: embeddings via an *iterator* pandas_udf (model loads once
+  per executor; Arrow batching replaces the hand-rolled batch loop), output
+  is a plain DataFrame with an ARRAY<FLOAT> column persisted like any table.
+- `vector_search`: brute-force exact cosine top-k — a Catalyst expression
+  (no Python in the hot path) + ORDER BY/LIMIT → TakeOrderedAndProject:
+  per-partition top-k heaps, only k rows per partition reach the driver.
+  That is the correct *baseline* even at 100 TB (one scan, no index build).
+- `ann_lsh`: the scale path — MLlib BucketedRandomProjectionLSH; candidates
+  come from hash buckets so the join touches a small fraction of the corpus.
+
+The embedding model is an optional dependency (SURVEY.md §7 risk 3): without
+sentence-transformers a deterministic hash-based embedder stands in, keeping
+every pipeline stage (UDF signature, batching, schema) real and tested; the
+`embeddings` fixture covers search math with *real* pre-computed vectors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.types import ArrayType, FloatType
+
+from ..catalog import load_table
+from ..functions.vector import cosine_sim
+from ..registry import op
+
+C = F.col
+
+EMBED_DIM = 64
+
+
+def _hash_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
+    """Deterministic fallback embedder: token-hash bag projection, L2-normed.
+
+    NOT a semantic model — a stand-in so the distributed plumbing is real
+    when sentence-transformers isn't installed. Same text → same vector on
+    every executor and run.
+    """
+    import hashlib
+
+    out = []
+    for t in texts:
+        v = np.zeros(dim, dtype=np.float64)
+        for tok in (t or "").lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            v[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+        n = np.linalg.norm(v)
+        out.append((v / n if n > 0 else v).astype(np.float32))
+    return pd.Series(out)
+
+
+def make_embedder_udf(model_name: str = "all-MiniLM-L6-v2"):
+    """Iterator pandas_udf: the model loads once per executor process and
+    amortizes across all Arrow batches (reference's batch_size=100 loop,
+    engine.py:86-93, done right)."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        try:
+            from sentence_transformers import SentenceTransformer  # optional
+
+            model = SentenceTransformer(model_name)
+
+            def run(s: pd.Series) -> pd.Series:
+                vecs = model.encode([t or "" for t in s], convert_to_numpy=True)
+                return pd.Series(list(vecs.astype(np.float32)))
+        except Exception:
+            run = _hash_embed_batch
+        for s in batches:
+            yield run(s)
+
+    return embed
+
+
+def vector_index(df: DataFrame, text_col: str, id_col: str,
+                 embedder=None) -> DataFrame:
+    """Build the vector index table: (id, text, embedding, …metadata).
+
+    Idempotence (the reference's delete-then-recreate, engine.py:74-79) is
+    the writer's `mode("overwrite")` when persisting; full row metadata
+    travels as ordinary columns instead of Chroma metadata dicts.
+    """
+    embed = embedder or make_embedder_udf()
+    return df.withColumn("embedding", embed(C(text_col).cast("string")))
+
+
+def vector_search(index: DataFrame, query_vec: list[float], k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against a query vector (engine.py:95-98, k=5).
+
+    The query vector ships as a literal (its broadcast); similarity is a
+    JVM-side fold; ORDER BY sim DESC LIMIT k compiles to
+    TakeOrderedAndProject. Unique id tiebreak keeps output deterministic.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+    return (
+        index.select(
+            C(id_col),
+            F.round(cosine_sim(C(vec_col), q), 6).alias("sim"),
+        )
+        .orderBy(C("sim").desc(), C(id_col))
+        .limit(k)
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(C("vec_id") == vec_id).head()["embedding"])
+
+
+# A DuckDB expression computing cosine with the *identical* formula/order as
+# functions.vector.cosine_sim (sequential double fold), so results are
+# bit-identical before the defensive ROUND.
+def _duck_cos(a: str, b: str) -> str:
+    return (f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+            f"(SQRT(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+            f"SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))")
+
+
+@op("vector_index")  # rows-only: embeddings come from a model / hash UDF
+def vector_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the documents table; emit per-doc embedding invariants
+    (dimension, rounded L2 norm — 1.0 for the fallback embedder)."""
+    from ..functions.vector import l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = vector_index(docs, text_col="text", id_col="doc_id")
+    return idx.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(C("embedding")), 4).alias("l2"),
+    )
+
+
+@op("vector_search", oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_duck_cos('embedding', 'qv')}, 6) AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 5
+""")
+def vector_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors of vector #0 over the fixture index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return vector_search(emb, _query_vec(spark, sf_dir, 0), k=5)
+
+
+@op("ext_similarity_topk", oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_duck_cos('c.embedding', 'q.embedding')}, 6) AS sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id IN (0, 1, 2)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                               ORDER BY sim DESC, c.vec_id) <= 5
+""")
+def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k join: a query *set* against the corpus in one pass
+    (SURVEY §2.5). Query side broadcasts; ranking is one window per query
+    partition — the all-pairs matrix never materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(C("vec_id").isin(0, 1, 2)).select(
+        C("vec_id").alias("query_id"), C("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(C("vec_id") != C("query_id"))
+        .select(
+            "query_id",
+            C("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(C("embedding"), C("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(C("sim").desc(), C("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)) \
+        .filter(C("rn") <= 5).drop("rn")
+
+
+@op("ext_dedup_embedding", oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cos('a.embedding', 'b.embedding')} > 0.8
+""")
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by `label`.
+
+    Blocking bounds the pair space (within-block quadratic, not global) —
+    the same structure an LSH bucket join gives when no natural block key
+    exists. Self-join shuffles once on the block key.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(C("vec_id").alias("a_id"), C("label").alias("a_label"),
+                   C("embedding").alias("a_vec"))
+    b = emb.select(C("vec_id").alias("b_id"), C("label").alias("b_label"),
+                   C("embedding").alias("b_vec"))
+    sim = cosine_sim(C("a_vec"), C("b_vec"))
+    return (
+        a.join(b, (C("a_label") == C("b_label")) & (C("a_id") < C("b_id")))
+        .filter(sim > 0.8)
+        .select("a_id", "b_id", F.round(sim, 6).alias("sim"))
+    )
+
+
+@op("ext_ann_lsh")  # rows-only: LSH bucketing is approximate by design
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MLlib BucketedRandomProjectionLSH (fixed seed): the 100 TB
+    path where brute force is off the table. Returns approx top-5 neighbors
+    of vector #0; pytest cross-checks recall against exact search."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(C("embedding").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=2.0, numHashTables=8, seed=42,
+    )
+    model = lsh.fit(emb)
+    key_row = emb.filter(C("vec_id") == 0).head()
+    nn = model.approxNearestNeighbors(emb.filter(C("vec_id") != 0),
+                                      key_row["features"], 5)
+    return nn.select("vec_id", F.round(C("distCol"), 6).alias("dist")) \
+        .orderBy("dist", "vec_id")

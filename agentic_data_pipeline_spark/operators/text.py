@@ -1,0 +1,192 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.5 / task brief):
+language-ID, quality scoring, token counting, fingerprinting — all pure
+Catalyst expressions (no Python UDFs): at 100 TB these run inside
+whole-stage codegen right on top of the parquet scan, shuffle-free.
+
+Every op here is a per-row map — the cheapest possible shape at scale — and
+each is oracle-checked against DuckDB computing the identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import op
+
+C = F.col
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# (Real lang-id would use char n-gram profiles; the *pipeline shape* — per-row
+# scoring + argmax — is identical, and that's the part that must scale.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "que", "y", "es", "una"],
+}
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words|numbers|punct
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of non-empty text (JVM split)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many whitespace tokens are in the marker set (lambda filter —
+    stays in codegen)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: marker_hits(text, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax over marker hits with a fixed tie order (en>de>fr>es>und)."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        expr = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _duck_hits(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return ("len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"t -> list_contains({arr}, t)))")
+
+
+@op("ext_text_stats", oracle=r"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT)                                  AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)    AS n_words,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT)
+               AS n_punct,
+           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / LENGTH(text), 6)                                   AS punct_ratio,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+')), 6)     AS chars_per_word
+    FROM documents
+""")
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (length / punctuation / word shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(tokens(C("text")))
+    n_punct = F.size(F.regexp_extract_all(C("text"), F.lit(_PUNCT_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_chars.cast("double") / n_words, 6).alias("chars_per_word"),
+    )
+
+
+@op("ext_lang_id", oracle=f"""
+    SELECT doc_id,
+           lang AS labeled_lang,
+           CAST({_duck_hits(LANG_MARKERS['en'])} AS INT) AS hits_en,
+           CAST({_duck_hits(LANG_MARKERS['de'])} AS INT) AS hits_de,
+           CASE
+             WHEN {_duck_hits(LANG_MARKERS['en'])} >= {_duck_hits(LANG_MARKERS['de'])}
+              AND {_duck_hits(LANG_MARKERS['en'])} >= {_duck_hits(LANG_MARKERS['fr'])}
+              AND {_duck_hits(LANG_MARKERS['en'])} >= {_duck_hits(LANG_MARKERS['es'])}
+              AND {_duck_hits(LANG_MARKERS['en'])} > 0 THEN 'en'
+             WHEN {_duck_hits(LANG_MARKERS['de'])} >= {_duck_hits(LANG_MARKERS['fr'])}
+              AND {_duck_hits(LANG_MARKERS['de'])} >= {_duck_hits(LANG_MARKERS['es'])}
+              AND {_duck_hits(LANG_MARKERS['de'])} > 0 THEN 'de'
+             WHEN {_duck_hits(LANG_MARKERS['fr'])} >= {_duck_hits(LANG_MARKERS['es'])}
+              AND {_duck_hits(LANG_MARKERS['fr'])} > 0 THEN 'fr'
+             WHEN {_duck_hits(LANG_MARKERS['es'])} > 0 THEN 'es'
+             ELSE 'und' END AS predicted_lang
+    FROM documents
+""")
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (per-row score + argmax, fixed ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = lang_scores(C("text"))
+    return docs.select(
+        "doc_id",
+        C("lang").alias("labeled_lang"),
+        s["en"].alias("hits_en"),
+        s["de"].alias("hits_de"),
+        predict_lang(C("text")).alias("predicted_lang"),
+    )
+
+
+@op("ext_token_count", oracle=rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS bpe_ish_tokens
+    FROM documents
+""")
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(C("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(C("text"), F.lit(_TOKEN_RE), F.lit(0)))
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@op("ext_quality_score", oracle=r"""
+    SELECT doc_id,
+           ROUND(  0.4 * LEAST(len(string_split_regex(trim(text), '\s+'))
+                               / 100.0, 1.0)
+                 + 0.3 * (1.0 - LEAST(CAST(len(regexp_extract_all(text,
+                              '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text), 1.0))
+                 + 0.3 * LEAST(CAST(LENGTH(text) AS DOUBLE)
+                               / len(string_split_regex(trim(text), '\s+'))
+                               / 8.0, 1.0)
+           , 6) AS quality
+    FROM documents
+""")
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score in [0,1]: length component +
+    low-punctuation component + word-shape component (identical arithmetic
+    expression on both engines → bit-stable before the ROUND)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(tokens(C("text")))
+    n_punct = F.size(F.regexp_extract_all(C("text"), F.lit(_PUNCT_RE), F.lit(0))).cast("double")
+    quality = (
+        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / n_chars, F.lit(1.0)))
+        + F.lit(0.3) * F.least(n_chars / n_words / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@op("ext_fingerprint", oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+           substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8)
+               AS shard_key
+    FROM documents
+""")
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased text.
+
+    md5 is engine-portable (same bytes → same hex in Spark and DuckDB),
+    which is why it, not xxhash64, is the *cross-system* fingerprint; the
+    8-hex-char prefix doubles as a well-distributed shard/bucket key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(C("text"), r"\s+", " "))
+    fp = F.md5(F.encode(normalized, "utf-8"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("shard_key"),
+    )

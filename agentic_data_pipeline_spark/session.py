@@ -1,0 +1,86 @@
+"""SparkSession factory for the engine.
+
+The reference delegates all execution to an in-memory DuckDB connection
+(reference engine.py:44); our equivalent "engine bring-up" is one configured
+SparkSession. Design point: local[N] for tests, but every conf here is chosen
+to also make sense on a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime coalescing of post-shuffle partitions, skew-join splitting,
+  dynamic broadcast conversion) so plans self-correct at scale.
+- Arrow on for every pandas interchange boundary (vector UDFs, toPandas).
+- ``nanosAsLong`` because the ``events`` fixture carries INT64 TIMESTAMP(NANOS)
+  which Spark has no native type for; we read the raw nanos and convert
+  explicitly (see catalog.events_with_ts).
+- UTC session timezone so timestamp semantics are reproducible against the
+  DuckDB oracle regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that the engine depends on. Kept separate from
+# builder-time confs so they can also be applied to a session we did not
+# create (the verification driver constructs its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # pandas/Arrow interchange for vectorized UDFs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours).
+
+    Safe to call repeatedly; silently skips confs the session refuses to set
+    at runtime (none of RUNTIME_CONFS are static, but be defensive).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "agentic-data-pipeline-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``shuffle_partitions`` defaults to the local core count: at local scale a
+    shuffle into 200 partitions is pure overhead; on a real cluster the
+    deployment overrides this (or AQE coalescing makes the initial number
+    mostly moot).
+    """
+    n = default_parallelism()
+    master = master or f"local[{n}]"
+    shuffle = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Broadcast all TPC-H-ish dims (region/nation/supplier/part/customer
+        # stay broadcast-sized at every tested sf; at 100 TB the fact tables
+        # never are, which is exactly the asymmetry broadcast joins want).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

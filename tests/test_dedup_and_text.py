@@ -1,0 +1,74 @@
+"""Invariant tests for the fuzzy-dedup family and text ops (the parts the
+DuckDB oracle can't check: xxhash64-based signatures, LSH recall)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_data_pipeline_spark.operators.dedup import (
+    jaccard, minhash_candidates, simhash_candidates, word_shingles,
+)
+from agentic_data_pipeline_spark.operators.text import predict_lang
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from all the hunters")
+    near = base.replace("green", "dark")          # 1-word edit → near-dup
+    other = ("completely different content about spark query engines and "
+             "distributed columnar execution with adaptive partitioning "
+             "plus shuffle management and memory spill handling today")
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],  # 4 = exact dup of 1
+        "doc_id bigint, text string",
+    )
+
+
+def test_minhash_finds_near_and_exact_dups(docs):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in minhash_candidates(docs, "doc_id", "text", 0.4).collect()}
+    assert pairs.get((1, 4)) == 1.0           # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.4   # near dup
+    assert all(3 not in p for p in pairs)     # unrelated doc never pairs
+
+
+def test_simhash_near_dup_hamming(docs):
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in simhash_candidates(docs, "doc_id", "text", 3).collect()}
+    assert pairs.get((1, 4)) == 0
+    assert all(3 not in p for p in pairs)
+
+
+def test_jaccard_identity_and_bounds(spark, docs):
+    g = docs.select("doc_id", word_shingles(F.col("text")).alias("g"))
+    a = g.filter("doc_id=1").select(F.col("g").alias("a")).crossJoin(
+        g.filter("doc_id=3").select(F.col("g").alias("b")))
+    j = a.select(jaccard(F.col("a"), F.col("b")).alias("j")).head()["j"]
+    assert 0.0 <= j < 0.1
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in of the house"),
+         (2, "der hund und die katze ist ein tier"),
+         (3, "zzz qqq xxx")],
+        "id bigint, text string")
+    got = {r["id"]: r["p"] for r in
+           df.select("id", predict_lang(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """LSH approx top-5 should overlap heavily with exact top-5."""
+    from agentic_data_pipeline_spark.operators.similarity import (
+        ext_ann_lsh, vector_search,
+    )
+    from agentic_data_pipeline_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = {r["vec_id"] for r in
+             vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
+    approx = {r["vec_id"] for r in ext_ann_lsh(spark, sf).collect()}
+    assert len(exact & approx) >= 3  # ≥60% recall on the fixture
