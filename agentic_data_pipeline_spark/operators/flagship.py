@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.helpers import dec_avg, dec_sum
+from ..functions.helpers import cents, dec_avg, dec_sum
 from ..registry import op
 
 C = F.col
@@ -25,20 +25,20 @@ C = F.col
 @op("q1_pricing_summary", oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE)                                             AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                    * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
-                AS DOUBLE)                                             AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)      AS sum_qty,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 10000.0                                   AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 1000000.0                                 AS sum_charge,
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
                / COUNT(l_quantity)                                     AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
                / COUNT(l_extendedprice)                                AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
                / COUNT(l_discount)                                     AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                    AS count_order
     FROM lineitem
@@ -48,20 +48,19 @@ C = F.col
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary by return flag / line status (TPC-H Q1 shape)."""
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit("1.00").cast("decimal(3,2)")
-    ext = C("l_extendedprice").cast("decimal(12,2)")
-    disc = C("l_discount").cast("decimal(4,2)")
-    tax = C("l_tax").cast("decimal(4,2)")
-    disc_price = ext * (one - disc)            # exact decimal, scale 4
-    charge = disc_price * (one + tax)          # exact decimal, scale 6
+    ext_c = cents("l_extendedprice")           # exact fixed-point (see helpers)
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    disc_price_c = ext_c * (100 - disc_c)      # exact, 1e-4 currency units
+    charge_c = disc_price_c * (100 + tax_c)    # exact, 1e-6 currency units
     return (
         li.filter(C("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(disc_price_c).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c).cast("double") / 1000000.0).alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount").alias("avg_disc"),

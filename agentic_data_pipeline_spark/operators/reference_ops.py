@@ -156,7 +156,7 @@ def read_bronze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EXEC_QUERY = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
     FROM CURRENT_TABLE
     GROUP BY l_returnflag
 """
@@ -237,7 +237,7 @@ def serve_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("viz_bar", oracle="""
     SELECT o_orderpriority AS x,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y_sum
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS y_sum
     FROM orders GROUP BY o_orderpriority
 """)
 def viz_bar_q(spark: SparkSession, sf_dir: str) -> DataFrame:

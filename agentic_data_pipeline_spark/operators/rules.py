@@ -6,10 +6,12 @@ LLM's SQL *is* the implementation. Here each rule is a first-class, tested
 operator — the NL/LLM path (see ../agent.py) is an alternative front-end
 that compiles to these same functions, not the other way round.
 
-Determinism: money flows through DECIMAL(18,2) (exact, order-independent);
-the z-score rule derives mean/stddev from exact decimal Σx and Σx² with the
-*identical* arithmetic expression on both engines, so even the float math is
-bit-reproducible (SURVEY.md §2.4 pins stddev_samp / ddof=1).
+Determinism: money sums run in exact fixed-point cents (see
+functions.helpers); the z-score rule derives mean/stddev from exact Σx
+(cents) and Σx² (decimal — cent squares would overflow BIGINT at ~1e9
+high-value rows) with the *identical* arithmetic expression on both
+engines, so even the float math is bit-reproducible (SURVEY.md §2.4 pins
+stddev_samp / ddof=1).
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..catalog import load_table
-from ..functions.helpers import dec_sum, money
+from ..functions.helpers import cents, dec_sum, money
 from ..registry import op
 
 C = F.col
@@ -66,7 +68,7 @@ def remove_outliers(df: DataFrame, cols: list[str], z: float = 3.0) -> DataFrame
     for c in cols:
         aggs += [
             F.count(C(c)).alias(f"__n_{c}"),
-            F.sum(money(c)).cast("double").alias(f"__s_{c}"),
+            (F.sum(cents(c)).cast("double") / 100.0).alias(f"__s_{c}"),
             F.sum(money(c) * money(c)).cast("double").alias(f"__ss_{c}"),
         ]
     stats = df.agg(*aggs)
@@ -177,7 +179,7 @@ def rule_standardize_currency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("rule_remove_outliers", oracle="""
     WITH s AS (
         SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               (CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS s,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
                         * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
         FROM orders
@@ -200,7 +202,7 @@ def rule_remove_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                PERCENT_RANK() OVER (ORDER BY sales) AS pr
         FROM (
             SELECT o_custkey AS custkey,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+                   (CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sales
             FROM orders GROUP BY o_custkey
         )
     )

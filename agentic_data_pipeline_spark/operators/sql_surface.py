@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import events_with_ts, load_table, register_views
-from ..functions.helpers import dec_avg, dec_sum, money
+from ..functions.helpers import cents, dec_avg, dec_sum, money
 from ..registry import op
 
 C = F.col
@@ -111,11 +111,10 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("q_agg", oracle="""
     SELECT CAST(COUNT(*) AS BIGINT)                                   AS cnt,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)                 AS n_orders,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)     AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1.00 AS DECIMAL(3,2))
-                       - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-                                                                      AS sum_disc_price,
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)     AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS DOUBLE) / 10000.0                                  AS sum_disc_price,
            MIN(l_extendedprice)                                       AS min_price,
            MAX(l_extendedprice)                                       AS max_price
     FROM lineitem
@@ -127,10 +126,8 @@ def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("l_orderkey").alias("n_orders"),
         dec_sum("l_quantity").alias("sum_qty"),
-        F.sum(C("l_extendedprice").cast("decimal(12,2)")
-              * (F.lit("1.00").cast("decimal(3,2)")
-                 - C("l_discount").cast("decimal(4,2)")))
-        .cast("double").alias("sum_disc_price"),
+        (F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+         .cast("double") / 10000.0).alias("sum_disc_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
@@ -140,8 +137,8 @@ def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            l_linestatus,
            CAST(COUNT(*) AS BIGINT)                               AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
                / COUNT(l_quantity)                                AS avg_qty
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -165,7 +162,7 @@ def q_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            l_linestatus,
            CAST(COUNT(*) AS BIGINT)                               AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
@@ -215,9 +212,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("q_window_agg", oracle="""
     SELECT o_orderkey,
            o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-               AS moving_sum,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0                           AS moving_sum,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                      AS DOUBLE) / 100.0
                  / COUNT(*) OVER w, 6)                       AS moving_avg
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
@@ -232,7 +230,7 @@ def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, 0)
     )
-    msum = F.sum(money("o_totalprice")).over(w).cast("double")
+    msum = F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0
     cnt = F.count(F.lit(1)).over(w)
     return orders.select(
         "o_orderkey",
@@ -272,7 +270,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (
         SELECT o_custkey,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+               (CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sales
         FROM orders GROUP BY o_custkey
     ) s ON c_custkey = s.o_custkey
 """)
@@ -385,13 +383,13 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTE_SQL = """
     WITH cust_sales AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+               (CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sales
         FROM orders
         GROUP BY o_custkey
     )
     SELECT o_custkey AS custkey, sales
     FROM cust_sales
-    WHERE sales > (SELECT CAST(SUM(CAST(sales AS DECIMAL(18,2))) AS DOUBLE)
+    WHERE sales > (SELECT (CAST(SUM(CAST(ROUND(sales * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
                           / COUNT(*)
                    FROM cust_sales)
 """
@@ -548,7 +546,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT)
                AS k_bucket,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM events
     GROUP BY 1
 """)
@@ -566,7 +564,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT)       AS bucket_epoch,
            event_type,
            CAST(COUNT(*) AS BIGINT)                            AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS sum_value
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)   AS sum_value
     FROM events
     GROUP BY 1, 2
 """)

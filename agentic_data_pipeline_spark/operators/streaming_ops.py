@@ -36,7 +36,7 @@ def _as_stream_dir(parquet_path: str) -> str:
     SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT)       AS bucket_epoch,
            event_type,
            CAST(COUNT(*) AS BIGINT)                            AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS sum_value
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)   AS sum_value
     FROM events
     GROUP BY 1, 2
 """)
