@@ -60,6 +60,66 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("media", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over the binary column (mapInPandas shape).
+
+    The real kernel (PIL.Image.resize) is stubbed: without PIL the
+    deterministic stand-in truncates/pads the payload to width*height bytes
+    — wrong pixels, right plumbing (schema, Arrow batches, partition-local
+    work, zero shuffles).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401 — real path, absent here
+            raise NotImplementedError("real PIL resize not wired in container")
+        except ImportError:
+            pass
+        n = width * height
+        for pdf in batches:
+            rows = [
+                (int(a), (bytes(m or b"")[:n]).ljust(n, b"\0"), width, height)
+                for a, m in zip(pdf["asset_id"], pdf["media"])
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "media", "width", "height"])
+
+    return assets.select("asset_id", "media").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_no", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling shape: one asset row → N frame rows.
+
+    Real decoder (ffmpeg/pyav) is stubbed; the stand-in treats each
+    ``every_n_bytes`` slice as a "frame". The UDTF-style explode (one input
+    row, many output rows via mapInPandas) is the part that must scale.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, m in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(m or b"")
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    rows.append((int(a), i, b[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_no", "frame"])
+
+    return assets.select("asset_id", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
 def fake_feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic bytes→features stand-in for a real decoder: payload
     size, first-4-bytes hex (magic number surrogate), byte-sum checksum."""

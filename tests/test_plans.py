@@ -1,0 +1,83 @@
+"""Plan-shape regression tests: lock in the physical plans that make these
+operators scale (pushdown, pruning, broadcast, TakeOrderedAndProject) so a
+refactor that silently degrades a plan fails CI, not the 100 TB run."""
+
+import contextlib
+import io
+
+import pytest
+
+from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+from tests.conftest import SF_SMOKE
+
+_ensure_loaded()
+
+
+def plan_of(spark, op_id: str) -> str:
+    df = OPS[op_id].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_scan_is_pruned_and_pushed(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p          # predicate pushed to scan
+    assert "l_orderkey" not in p.split("ReadSchema:")[1].splitlines()[0]  # pruned
+    assert p.count("HashAggregate") >= 2              # partial + final
+
+
+def test_dim_joins_broadcast(spark):
+    p = plan_of(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_topk_uses_takeordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_topk")
+
+
+def test_vector_search_is_jvm_only_topk(spark):
+    p = plan_of(spark, "vector_search")
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p                      # no Python in hot path
+
+
+def test_text_ops_have_no_python_stage(spark):
+    for op_id in ("ext_text_stats", "ext_token_count", "ext_fingerprint",
+                  "ext_dedup_minhash"):
+        assert "EvalPython" not in plan_of(spark, op_id), op_id
+
+
+def test_salted_join_spreads_keys(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_data_pipeline_spark.functions.skew import salted_join
+
+    # one pathologically hot key (90% of rows) + uniform remainder
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("payload"))
+    right = spark.range(0, 50).select(F.col("id").alias("k"),
+                                      (F.col("id") * 10).alias("rv"))
+    out = salted_join(left, right, "k", salt=8)
+    plain = left.join(right, "k")
+    assert out.count() == plain.count()               # same join semantics
+    assert sorted(r["payload"] for r in out.collect()) == \
+        sorted(r["payload"] for r in plain.collect())
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from agentic_data_pipeline_spark.operators.multimodal import (
+        decode_image, documents_as_assets, resize_images, sample_frames,
+    )
+
+    assets = documents_as_assets(spark, sf_dir).limit(5)
+    resized = resize_images(assets, 8, 4).collect()
+    assert all(len(r["media"]) == 32 for r in resized)
+    frames = sample_frames(assets, every_n_bytes=16, max_frames=3)
+    per_asset = frames.groupBy("asset_id").count().collect()
+    assert all(1 <= r["count"] <= 3 for r in per_asset)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
