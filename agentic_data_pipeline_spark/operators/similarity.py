@@ -103,11 +103,31 @@ def vector_search(index: DataFrame, query_vec: list[float], k: int = 5,
     TakeOrderedAndProject. Unique id tiebreak keeps output deterministic.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+    return _cosine_topk(index, q, k, id_col, vec_col)
+
+
+def _cosine_topk(index: DataFrame, q, k: int, id_col: str,
+                 vec_col: str) -> DataFrame:
     return (
         index.select(
             C(id_col),
             F.round(cosine_sim(C(vec_col), q), 6).alias("sim"),
         )
+        .orderBy(C("sim").desc(), C(id_col))
+        .limit(k)
+    )
+
+
+def vector_search_by_id(index: DataFrame, query_id: int, k: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors of a vector already in the index — single job: the
+    1-row query side broadcasts into a join instead of a driver round-trip
+    (collect-then-literal costs an extra Spark job per query)."""
+    q = index.filter(C(id_col) == query_id).select(C(vec_col).alias("__qv"))
+    return (
+        index.crossJoin(F.broadcast(q))
+        .select(C(id_col), F.round(cosine_sim(C(vec_col), C("__qv")), 6).alias("sim"))
         .orderBy(C("sim").desc(), C(id_col))
         .limit(k)
     )
@@ -150,9 +170,11 @@ def vector_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 5
 """)
 def vector_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 cosine neighbors of vector #0 over the fixture index."""
+    """Top-5 cosine neighbors of vector #0 over the fixture index (join
+    form — the free-text path embeds on the driver and uses vector_search,
+    pytest-covered)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return vector_search(emb, _query_vec(spark, sf_dir, 0), k=5)
+    return vector_search_by_id(emb, 0, k=5)
 
 
 @op("ext_similarity_topk", oracle=f"""

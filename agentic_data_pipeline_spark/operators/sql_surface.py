@@ -340,6 +340,53 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@op("q_pivot", oracle="""
+    SELECT l_returnflag,
+           (CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(ROUND(l_quantity * 100, 0) AS BIGINT) END)
+                 AS DOUBLE) / 100.0)                          AS qty_F,
+           (CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(ROUND(l_quantity * 100, 0) AS BIGINT) END)
+                 AS DOUBLE) / 100.0)                          AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per l_linestatus value (explicit value list — at
+    scale an implicit pivot triggers a distinct-values job first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg((F.sum(cents("l_quantity")).cast("double") / 100.0))
+        .select(
+            "l_returnflag",
+            C("F").alias("qty_F"),
+            C("O").alias("qty_O"),
+        )
+    )
+
+
+@op("q_unpivot", oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail' AS metric, p_retailprice AS value
+    FROM part
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide → long (stack stays a single narrow projection —
+    no shuffle, output is a per-row flatMap)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.unpivot(
+        "p_partkey",
+        [C("p_size").cast("double").alias("size"),
+         C("p_retailprice").alias("retail")],
+        "metric", "value",
+    ).select("p_partkey", F.when(C("metric") == "size", "size")
+             .otherwise("retail").alias("metric"), "value")
+
+
 # ------------------------------------------------------------------ set ops
 
 @op("q_union", oracle="""

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the engine's determinism kernels —
+the parts where a single wrong edge case silently breaks oracle parity."""
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from agentic_data_pipeline_spark.plans.dialect import (
+    duckdb_to_spark_sql, strip_markdown_fences,
+)
+
+sql_text = st.text(
+    alphabet=st.characters(blacklist_characters="`", codec="ascii"),
+    min_size=1, max_size=200,
+).filter(lambda s: s.strip())
+
+
+@given(sql_text)
+@settings(max_examples=200, deadline=None)
+def test_fence_stripping_roundtrip(sql):
+    """Fenced SQL always unwraps to the original (reference agent.py:46)."""
+    assert strip_markdown_fences(f"```sql\n{sql}\n```") == sql.strip().rstrip(";")
+    assert strip_markdown_fences(f"```\n{sql}\n```") == sql.strip().rstrip(";")
+
+
+@given(sql_text)
+@settings(max_examples=100, deadline=None)
+def test_dialect_shim_idempotent_on_sparkish_sql(sql):
+    """Rewriting twice == rewriting once for text without DuckDB-isms."""
+    if re.search(r"\b(len|log|ln|string_split|json_extract_string|list_contains)\s*\(",
+                 sql, re.I):
+        return
+    once = duckdb_to_spark_sql(sql)
+    assert duckdb_to_spark_sql(once) == once
+
+
+# 2dp money values in the engine's supported range
+money_2dp = st.integers(min_value=-10**12, max_value=10**12).map(lambda c: c / 100)
+
+
+@given(st.lists(money_2dp, min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_cents_conversion_is_exact(values):
+    """round(x*100) recovers the integer cents exactly for every 2dp double
+    — the foundation of the fixed-point aggregation (helpers.cents)."""
+    for v in values:
+        c = round(v * 100)
+        assert math.isclose(c / 100, v, rel_tol=0, abs_tol=0)
+        # and the float detour never lands on a .5 tie
+        assert abs(v * 100 - c) < 0.499
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30),
+                min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_jaccard_reference_properties(texts):
+    """Pure-python mirror of operators.dedup.jaccard invariants: bounds,
+    symmetry, identity — checked over adversarially tiny token alphabets."""
+    def shingles(t):
+        toks = [x for x in t.split() if x]
+        if not toks:
+            return set()
+        return {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    sets = [shingles(t) for t in texts]
+    for a in sets:
+        for b in sets:
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            jb = len(b & a) / len(b | a)
+            assert 0.0 <= j <= 1.0 and j == jb
+        if a:
+            assert len(a & a) / len(a | a) == 1.0
