@@ -34,7 +34,13 @@ _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
     # DuckDB's log() is log10; Spark's is ln. Map explicitly.
     (re.compile(r"\blog\s*\(", re.I), "log10("),
     (re.compile(r"\bln\s*\(", re.I), "ln("),
+    # DuckDB integer floor-division operator → Spark's div keyword.
+    (re.compile(r"//"), " div "),
 ]
+
+# Dialect deltas that need NO rewrite (documented so future-me doesn't add
+# one): GROUP BY ALL is native in Spark ≥3.4; `/` is float division in both
+# (ANSI); CURRENT_TABLE resolves via the temp view, not string surgery.
 
 _MD_FENCE = re.compile(r"^```(?:sql)?\s*|\s*```$", re.I | re.M)
 
