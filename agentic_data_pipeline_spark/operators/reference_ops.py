@@ -58,26 +58,25 @@ def ingest_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest(spark, path, "json", schema=nation.schema)
 
 
-@op("ingest_excel")  # rows-only: openpyxl is an optional dep (engine.py:25)
+@op("ingest_excel", oracle="SELECT * FROM supplier")
 def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Excel round-trip when openpyxl is present; else a capability marker.
+    """supplier → xlsx file → driver-side Excel ingest (lossless round-trip).
 
-    Excel has no distributed reader (driver-side pandas by design — files
-    are interactive-upload sized, SURVEY.md §7 risk 2).
+    Excel has no distributed reader (driver-side by design — files are
+    interactive-upload sized, SURVEY.md §7 risk 2); without openpyxl the
+    built-in minimal codec (sources/xlsx_minimal.py) reads/writes the file.
     """
+    from ..sources.xlsx_minimal import write_xlsx
+
     supp = load_table(spark, sf_dir, "supplier")
     path = _scratch("ingest_excel", "supplier.xlsx")
     try:
         import openpyxl  # noqa: F401
 
         supp.toPandas().to_excel(path, index=False)
-        out = ingest(spark, path, "excel", schema=supp.schema)
-        return out.withColumn("excel_available", F.lit(True))
     except ImportError:
-        return spark.createDataFrame(
-            [(False, "openpyxl not installed; op gated per SURVEY §7 risk 2")],
-            "excel_available boolean, note string",
-        )
+        write_xlsx(supp.toPandas(), path)
+    return ingest(spark, path, "excel", schema=supp.schema)
 
 
 @op("ingest_pdf")  # rows-only: content derives from binary payloads, not SQL

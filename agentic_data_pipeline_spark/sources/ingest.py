@@ -63,11 +63,17 @@ def _read_json(spark: SparkSession, path: str, schema, options: dict) -> DataFra
 
 
 def _read_excel(spark: SparkSession, path: str, schema, options: dict) -> DataFrame:
+    """Excel → DataFrame, driver-side (no distributed xlsx reader exists and
+    the files are interactive-upload sized, engine.py:25). pandas+openpyxl
+    when installed; otherwise the built-in minimal codec (xlsx_minimal)."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise IngestError("excel ingestion requires openpyxl") from e
-    pdf = pd.read_excel(path, **options)
+
+        pdf = pd.read_excel(path, **options)
+    except ImportError:
+        from .xlsx_minimal import read_xlsx
+
+        pdf = read_xlsx(path)
     return (spark.createDataFrame(pdf, schema=schema) if schema is not None
             else spark.createDataFrame(pdf))
 

@@ -55,3 +55,27 @@ def test_bronze_roundtrip_and_missing(spark, sf_dir):
     schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
     missing2 = read_bronze(spark, lake, "never_written", schema=schema)
     assert missing2.count() == 0 and missing2.schema == schema
+
+
+def test_xlsx_minimal_codec_roundtrip(spark):
+    import pandas as pd
+
+    from agentic_data_pipeline_spark.sources.xlsx_minimal import (
+        read_xlsx, write_xlsx,
+    )
+
+    pdf = pd.DataFrame({
+        "i": [1, 2, 30000000000],
+        "f": [1.5, -2.25, 3.14159265358979],
+        "s": ["plain", "<&>\"'", "sp  aces kept"],
+        "b": [True, False, True],
+    })
+    path = os.path.join(TMP, "codec.xlsx")
+    os.makedirs(TMP, exist_ok=True)
+    write_xlsx(pdf, path)
+    back = read_xlsx(path)
+    assert list(back.columns) == ["i", "f", "s", "b"]
+    assert list(back["i"]) == [1, 2, 30000000000]
+    assert list(back["f"]) == [1.5, -2.25, 3.14159265358979]  # exact doubles
+    assert list(back["s"]) == ["plain", "<&>\"'", "sp  aces kept"]
+    assert list(back["b"]) == [True, False, True]
