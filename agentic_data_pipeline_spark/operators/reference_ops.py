@@ -81,13 +81,16 @@ def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("ingest_pdf")  # rows-only: content derives from binary payloads, not SQL
 def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-PDF ingestion: 3 page-separated text payloads → binaryFile source
-    → mapInPandas page exploder → one row per (file, page).
+    """PDF ingestion: 3 real (minimal-codec) two-page PDFs → binaryFile
+    source → mapInPandas page exploder → one row per (file, page).
 
-    pypdf is optional; the deterministic fallback splits UTF-8 payloads on
-    form-feed, keeping the distributed plumbing (binaryFile, Arrow batches,
-    schema) real and testable (see sources/ingest.py).
+    Parsing prefers pypdf when installed; here the built-in minimal PDF
+    codec (sources/pdf_minimal.py) both writes and parses the files, so the
+    distributed plumbing (binaryFile, Arrow batches, page explode) runs
+    against genuine %PDF payloads.
     """
+    from ..sources.pdf_minimal import write_pdf
+
     docs = (
         load_table(spark, sf_dir, "documents")
         .orderBy("doc_id").limit(3).select("doc_id", "text").collect()
@@ -96,9 +99,8 @@ def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in docs:
         words = r["text"].split(" ")
         mid = max(1, len(words) // 2)
-        payload = " ".join(words[:mid]) + "\f" + " ".join(words[mid:])
-        with open(os.path.join(pdf_dir, f"doc_{r['doc_id']}.pdf"), "wb") as f:
-            f.write(payload.encode("utf-8"))
+        write_pdf([" ".join(words[:mid]), " ".join(words[mid:])],
+                  os.path.join(pdf_dir, f"doc_{r['doc_id']}.pdf"))
     out = ingest(spark, pdf_dir, "pdf")
     return out.select(
         F.element_at(F.split(C("path"), "/"), -1).alias("file"),

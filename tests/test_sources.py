@@ -79,3 +79,27 @@ def test_xlsx_minimal_codec_roundtrip(spark):
     assert list(back["f"]) == [1.5, -2.25, 3.14159265358979]  # exact doubles
     assert list(back["s"]) == ["plain", "<&>\"'", "sp  aces kept"]
     assert list(back["b"]) == [True, False, True]
+
+
+def test_pdf_minimal_codec_roundtrip(spark):
+    from agentic_data_pipeline_spark.sources.pdf_minimal import (
+        extract_pages, write_pdf,
+    )
+
+    pages = ["hello world (with) parens \\ and back",
+             "second page\nwith two lines"]
+    path = os.path.join(TMP, "mini.pdf")
+    os.makedirs(TMP, exist_ok=True)
+    write_pdf(pages, path)
+    payload = open(path, "rb").read()
+    assert payload.startswith(b"%PDF-1.4")
+    got = extract_pages(payload)
+    assert got == pages
+
+    # and through the distributed ingest path (binaryFile + mapInPandas)
+    pdf_dir = os.path.join(TMP, "real_pdfs")
+    os.makedirs(pdf_dir, exist_ok=True)
+    write_pdf(pages, os.path.join(pdf_dir, "doc.pdf"))
+    rows = ingest(spark, pdf_dir, "pdf").collect()
+    by_page = {r["page"]: r["content"] for r in rows}
+    assert by_page == {1: pages[0], 2: pages[1]}
