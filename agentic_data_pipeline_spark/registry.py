@@ -69,6 +69,6 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         dedup, flagship, multimodal, reference_ops, rules, sessionize,
-        similarity, sql_surface, streaming_ops, text,
+        similarity, sql_surface, streaming_ops, temporal, text,
     )
     _loaded = True
