@@ -1,0 +1,106 @@
+"""Training-data preparation operators: PII redaction and document
+chunking — the two per-row transforms every LLM data pipeline runs between
+dedup and tokenization. Both pure Catalyst (regexp/array built-ins), both
+oracle-checked; at 100 TB they are map-only passes fused into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import op
+
+C = F.col
+
+# Portable (Java regex ∩ RE2) PII patterns — keep them free of lookarounds.
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PAT = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4,10}"
+
+
+def redact(text: Column) -> Column:
+    """Mask emails then phones (order matters: emails can contain digits)."""
+    step1 = F.regexp_replace(text, EMAIL_PAT, "<EMAIL>")
+    return F.regexp_replace(step1, PHONE_PAT, "<PHONE>")
+
+
+def chunk_tokens(tokens: Column, size: int) -> Column:
+    """Array of whitespace-token chunks of ``size`` (last one ragged)."""
+    n_chunks = F.ceil(F.size(tokens) / F.lit(float(size))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i * size + 1, size)))
+
+
+@op("ext_pii_redact", oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(salted, '{EMAIL_PAT}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(salted, '{PHONE_PAT}')) AS INT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(salted, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{PHONE_PAT}', '<PHONE>', 'g')) AS redacted_md5
+    FROM (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    AS salted
+        FROM documents
+    )
+""")
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents salted with one synthetic email+phone
+    per row (the fixture corpus carries no real PII — the salt makes the
+    redaction observable and exactly reproducible in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        C("text"), F.lit(" contact user"), C("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + C("doc_id") % 9000).cast("string"),
+    )
+    d = docs.select("doc_id", salted.alias("salted"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(C("salted"), F.lit(EMAIL_PAT), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(C("salted"), F.lit(PHONE_PAT), F.lit(0)))
+        .alias("n_phones"),
+        F.md5(F.encode(redact(C("salted")), "utf-8")).alias("redacted_md5"),
+    )
+
+
+CHUNK_SIZE = 16
+
+
+@op("ext_docs_to_chunks", oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(g.i AS INT)                                       AS chunk_id,
+           CAST(len(list_slice(t, g.i * {CHUNK_SIZE} + 1,
+                               g.i * {CHUNK_SIZE} + {CHUNK_SIZE})) AS INT)
+                                                                  AS n_tokens,
+           md5(array_to_string(list_slice(t, g.i * {CHUNK_SIZE} + 1,
+                               g.i * {CHUNK_SIZE} + {CHUNK_SIZE}), ' '))
+                                                                  AS chunk_md5
+    FROM toks, UNNEST(range(CAST(CEIL(len(t) / {CHUNK_SIZE}.0) AS BIGINT)))
+         AS g(i)
+""")
+def ext_docs_to_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document → ⌈n/16⌉ fixed-size token
+    chunks (UDTF shape: explode of a JVM-computed chunk array; one row in,
+    many out, no Python, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(C("text")), r"\s+")
+    chunks = chunk_tokens(toks, CHUNK_SIZE)
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return exploded.select(
+        "doc_id",
+        C("chunk_id").cast("int").alias("chunk_id"),
+        F.size(F.split(C("chunk"), " ")).alias("n_tokens"),
+        F.md5(F.encode(C("chunk"), "utf-8")).alias("chunk_md5"),
+    )

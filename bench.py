@@ -36,6 +36,9 @@ HEADLINE = [
     "ext_text_stats",
     "vector_search",
     "ext_similarity_topk",
+    "ext_sessionize",
+    "ext_asof_join",
+    "ext_docs_to_chunks",
 ]
 
 
