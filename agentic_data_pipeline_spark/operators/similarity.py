@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql.types import ArrayType, FloatType
 
 from ..catalog import load_table
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_sim  # noqa: F401 (re-exported for callers)
 from ..registry import op
 
 C = F.col
@@ -102,17 +102,27 @@ def vector_search(index: DataFrame, query_vec: list[float], k: int = 5,
     JVM-side fold; ORDER BY sim DESC LIMIT k compiles to
     TakeOrderedAndProject. Unique id tiebreak keeps output deterministic.
     """
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
-    return _cosine_topk(index, q, k, id_col, vec_col)
+    # Query norm is a constant — fold it once on the driver instead of per
+    # row (bit-identical: float32→float64 is exact, python sums doubles in
+    # the same left-to-right order as the JVM fold).
+    qd = [float(np.float32(x)) for x in query_vec]
+    acc = 0.0
+    for x in qd:
+        acc += x * x
+    qn = math.sqrt(acc)
+    return _cosine_topk(index, q, F.lit(qn), k, id_col, vec_col)
 
 
-def _cosine_topk(index: DataFrame, q, k: int, id_col: str,
+def _cosine_topk(index: DataFrame, q, qn, k: int, id_col: str,
                  vec_col: str) -> DataFrame:
+    from ..functions.vector import dot, l2_norm
+
+    sim = dot(C(vec_col), q) / (l2_norm(C(vec_col)) * qn)
     return (
-        index.select(
-            C(id_col),
-            F.round(cosine_sim(C(vec_col), q), 6).alias("sim"),
-        )
+        index.select(C(id_col), F.round(sim, 6).alias("sim"))
         .orderBy(C("sim").desc(), C(id_col))
         .limit(k)
     )
@@ -124,10 +134,16 @@ def vector_search_by_id(index: DataFrame, query_id: int, k: int = 5,
     """Top-k neighbors of a vector already in the index — single job: the
     1-row query side broadcasts into a join instead of a driver round-trip
     (collect-then-literal costs an extra Spark job per query)."""
-    q = index.filter(C(id_col) == query_id).select(C(vec_col).alias("__qv"))
+    from ..functions.vector import dot, l2_norm
+
+    # Query norm computed once on the 1-row broadcast side — not per
+    # candidate row (same double either way; ~1/3 less per-row work).
+    q = index.filter(C(id_col) == query_id).select(
+        C(vec_col).alias("__qv"), l2_norm(C(vec_col)).alias("__qn"))
+    sim = dot(C(vec_col), C("__qv")) / (l2_norm(C(vec_col)) * C("__qn"))
     return (
         index.crossJoin(F.broadcast(q))
-        .select(C(id_col), F.round(cosine_sim(C(vec_col), C("__qv")), 6).alias("sim"))
+        .select(C(id_col), F.round(sim, 6).alias("sim"))
         .orderBy(C("sim").desc(), C(id_col))
         .limit(k)
     )
@@ -189,17 +205,21 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch top-k join: a query *set* against the corpus in one pass
     (SURVEY §2.5). Query side broadcasts; ranking is one window per query
     partition — the all-pairs matrix never materializes."""
+    from ..functions.vector import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(C("vec_id").isin(0, 1, 2)).select(
-        C("vec_id").alias("query_id"), C("embedding").alias("qv")
+        C("vec_id").alias("query_id"), C("embedding").alias("qv"),
+        l2_norm(C("embedding")).alias("qn"),
     )
+    sim = dot(C("embedding"), C("qv")) / (l2_norm(C("embedding")) * C("qn"))
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .filter(C("vec_id") != C("query_id"))
         .select(
             "query_id",
             C("vec_id").alias("neighbor_id"),
-            F.round(cosine_sim(C("embedding"), C("qv")), 6).alias("sim"),
+            F.round(sim, 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(C("sim").desc(), C("neighbor_id"))
@@ -221,12 +241,17 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same structure an LSH bucket join gives when no natural block key
     exists. Self-join shuffles once on the block key.
     """
+    from ..functions.vector import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per vector (each vector joins into many pairs)
     a = emb.select(C("vec_id").alias("a_id"), C("label").alias("a_label"),
-                   C("embedding").alias("a_vec"))
+                   C("embedding").alias("a_vec"),
+                   l2_norm(C("embedding")).alias("a_n"))
     b = emb.select(C("vec_id").alias("b_id"), C("label").alias("b_label"),
-                   C("embedding").alias("b_vec"))
-    sim = cosine_sim(C("a_vec"), C("b_vec"))
+                   C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
     return (
         a.join(b, (C("a_label") == C("b_label")) & (C("a_id") < C("b_id")))
         .filter(sim > 0.8)
