@@ -1,0 +1,129 @@
+"""Deterministic sampling / splitting / corpus reporting.
+
+Training-data pipelines need *reproducible* sampling: `rand()`-based
+sampling changes across retries, speculative tasks, and cluster layouts,
+which silently corrupts train/val hygiene. Everything here derives its
+randomness from md5 of a stable key — the same row lands in the same
+bucket on any engine, any run, any partitioning (and md5 is portable, so
+the DuckDB oracle checks it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import op
+
+C = F.col
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the first 8 md5 hex chars of the
+    key — uniform, engine-portable (Spark conv == DuckDB from_hex path)."""
+    h8 = F.substring(F.md5(key.cast("string")), 1, 8)
+    return (F.conv(h8, 16, 10).cast("bigint") % buckets).cast("int")
+
+
+def deterministic_sample(df: DataFrame, key: str, rate_pct: int) -> DataFrame:
+    """Keep ~rate_pct% of rows, stably by key hash."""
+    return df.filter(hash_bucket(C(key)) < rate_pct)
+
+
+def train_val_test_split(df: DataFrame, key: str,
+                         val_pct: int = 10, test_pct: int = 10) -> DataFrame:
+    """Assign each row a stable split label (train/val/test)."""
+    b = hash_bucket(C(key))
+    split = (
+        F.when(b < test_pct, "test")
+        .when(b < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)
+
+
+# DuckDB twin of hash_bucket: md5 prefix → bigint via from_hex/position math.
+# DuckDB 1.0 lacks conv(); decode the 8 hex chars manually through a 2-step
+# from_hex → bit math is clumsy, so use the documented-equivalent:
+# CAST(('0x' || prefix) AS BIGINT) is not supported either; instead use
+# list_reduce over the hex chars. Kept in one helper string.
+def _duck_bucket(key_expr: str, buckets: int = 100) -> str:
+    return (
+        "CAST(list_reduce(list_transform(string_split(substring(md5("
+        f"CAST({key_expr} AS VARCHAR)), 1, 8), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, b) -> a * 16 + b) % {buckets} AS INT)"
+    )
+
+
+@op("ext_sample_stratified", oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM (
+        SELECT lang, doc_id
+        FROM documents
+        WHERE {_duck_bucket('doc_id')} < (CASE WHEN lang = 'en' THEN 50
+                                               ELSE 20 END)
+    )
+    GROUP BY lang
+""")
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 50% of English docs, 20% of the
+    rest, keyed on doc_id — rerun-stable on any engine/partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(C("lang") == "en", 50).otherwise(20)
+    sampled = docs.filter(hash_bucket(C("doc_id")) < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+@op("ext_train_val_split", oracle=f"""
+    SELECT CASE WHEN {_duck_bucket('doc_id')} < 10 THEN 'test'
+                WHEN {_duck_bucket('doc_id')} < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+""")
+def ext_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment keyed on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+
+
+@op("ext_corpus_stats", oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                               AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+                AS BIGINT)                                        AS n_unique,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                                                                  AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT)                           AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT)                           AS max_chars
+    FROM documents
+    GROUP BY source
+""")
+def ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: volume, exact-dup rate (distinct
+    fingerprints), token totals — the dashboard numbers a data-curation
+    run ends with. One partial+final aggregate pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")), "utf-8"))
+    toks = F.size(F.split(F.trim(C("text")), r"\s+"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fp).alias("n_unique"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
