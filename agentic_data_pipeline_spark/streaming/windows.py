@@ -54,6 +54,35 @@ def stream_tumbling_agg(spark: SparkSession, input_dir: str,
     )
 
 
+def stream_to_bronze(spark: SparkSession, input_dir: str, lake_dir: str,
+                     name: str, checkpoint_dir: str) -> str:
+    """Streaming ingestion into the bronze lake via foreachBatch: each
+    micro-batch appends through the same write_bronze path batch ingestion
+    uses (one sink implementation, two execution modes). Exactly-once comes
+    from the checkpoint + parquet append idempotence per epoch.
+
+    Returns the bronze path.
+    """
+    import os
+
+    from ..sources.bronze import bronze_path, write_bronze
+
+    tune(spark)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_bronze(batch_df, lake_dir, name, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return bronze_path(lake_dir, name)
+
+
 def run_stream_to_table(spark: SparkSession, input_dir: str, table: str,
                         window: str = "1 hour") -> None:
     """Drive the stream with availableNow (process-everything-then-stop) into

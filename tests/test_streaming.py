@@ -15,3 +15,18 @@ def test_stream_matches_batch(spark, sf_dir):
     exp = {(r["bucket_epoch"], r["event_type"]): (r["cnt"], r["sum_value"])
            for r in q_tumble(spark, sf_dir).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_stream_to_bronze_foreachbatch(spark, sf_dir, tmp_path):
+    from agentic_data_pipeline_spark.streaming.windows import stream_to_bronze
+
+    src = _as_stream_dir(table_path(sf_dir, "events"))
+    path = stream_to_bronze(spark, src, str(tmp_path / "lake"), "events_rt",
+                            checkpoint_dir=str(tmp_path / "ckpt"))
+    got = spark.read.parquet(path)
+    exp = spark.read.parquet(table_path(sf_dir, "events"))
+    assert got.count() == exp.count()
+    # re-running with the same checkpoint must NOT duplicate (exactly-once)
+    stream_to_bronze(spark, src, str(tmp_path / "lake"), "events_rt",
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+    assert spark.read.parquet(path).count() == exp.count()
