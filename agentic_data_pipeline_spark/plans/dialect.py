@@ -25,6 +25,12 @@ from ..session import tune
 _FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
     # json_extract_string(j, p)  →  get_json_object(j, p)
     (re.compile(r"\bjson_extract_string\s*\(", re.I), "get_json_object("),
+    # string_split(s, sep)[n]  →  element_at(split(s, sep), n):
+    # DuckDB list indexing is 1-based, Spark's [] is 0-based, but Spark's
+    # element_at is 1-based — preserving the LLM's index semantics.
+    # (Non-nested args only — good enough for LLM-shaped SQL.)
+    (re.compile(r"\bstring_split\s*\(([^()]*)\)\s*\[\s*(\d+)\s*\]", re.I),
+     r"element_at(split(\1), \2)"),
     # string_split(s, sep)  →  split(s, sep)   (Spark's split takes a regex,
     # identical for the single-char separators the LLM emits)
     (re.compile(r"\bstring_split\s*\(", re.I), "split("),
