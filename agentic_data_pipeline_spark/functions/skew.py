@@ -1,8 +1,11 @@
 """Skew-mitigation join helper (100 TB toolbox).
 
-AQE's skew-join splitting handles most skew at runtime; *salting* is the
-explicit fallback for pathological keys (one user with 10^9 events joined
-against a non-broadcastable right side). The left (skewed) side gets a
+AQE's skew-join splitting handles most skew at runtime — measured on a
+12 M-row hot-key join it beat manual salting outright (BASELINE.md), so
+salting is NOT a default. It is the explicit fallback for the shapes AQE
+cannot split: hot keys feeding an aggregation, or a join whose skewed
+partition can't be subdivided (single monster key on a non-broadcastable
+right side). The left (skewed) side gets a
 random-free deterministic salt derived from a high-entropy column; the right
 side is replicated once per salt bucket — turning one hot partition into
 ``salt`` evenly-loaded ones at the cost of replicating the right side's
