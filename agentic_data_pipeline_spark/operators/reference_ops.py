@@ -79,7 +79,25 @@ def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest(spark, path, "excel", schema=supp.schema)
 
 
-@op("ingest_pdf")  # rows-only: content derives from binary payloads, not SQL
+@op("ingest_pdf", oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 3
+    ), m AS (
+        SELECT doc_id, w, GREATEST(len(w) // 2, 1) AS mid FROM d
+    ), pages AS (
+        SELECT doc_id, 1 AS page,
+               array_to_string(list_slice(w, 1, mid), ' ') AS content FROM m
+        UNION ALL
+        SELECT doc_id, 2,
+               array_to_string(list_slice(w, mid + 1, len(w)), ' ') FROM m
+    )
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file,
+           CAST(page AS INT)            AS page,
+           CAST(LENGTH(content) AS INT) AS content_len,
+           md5(content)                 AS content_md5
+    FROM pages
+""")
 def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF ingestion: 3 real (minimal-codec) two-page PDFs → binaryFile
     source → mapInPandas page exploder → one row per (file, page).
@@ -87,7 +105,9 @@ def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parsing prefers pypdf when installed; here the built-in minimal PDF
     codec (sources/pdf_minimal.py) both writes and parses the files, so the
     distributed plumbing (binaryFile, Arrow batches, page explode) runs
-    against genuine %PDF payloads.
+    against genuine %PDF payloads. Oracle-checked end to end: the PDF text
+    round-trip is lossless, so DuckDB can derive the same page texts from
+    the documents table and compare md5s.
     """
     from ..sources.pdf_minimal import write_pdf
 
@@ -110,7 +130,13 @@ def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("ingest_error")  # rows-only: verifies the raise-don't-return contract
+@op("ingest_error", oracle="""
+    SELECT * FROM (VALUES
+        ('unsupported_format', true),
+        ('unreadable_file', true),
+        ('ingest_error_is_runtime_error', true)
+    ) AS t("case", raised)
+""")
 def ingest_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unknown format and unreadable file both raise RuntimeError
     (engine.py:34-37); emitted here as a checkable truth table."""

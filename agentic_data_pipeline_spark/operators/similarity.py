@@ -163,10 +163,16 @@ def _duck_cos(a: str, b: str) -> str:
             f"SQRT(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))")
 
 
-@op("vector_index")  # rows-only: embeddings come from a model / hash UDF
+@op("vector_index", oracle="""
+    SELECT doc_id, CAST(64 AS INT) AS dim, 1.0 AS l2 FROM documents
+""")
 def vector_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index the documents table; emit per-doc embedding invariants
-    (dimension, rounded L2 norm — 1.0 for the fallback embedder)."""
+    """Index the documents table; emit per-doc embedding invariants.
+
+    The invariants ARE oracle-checkable even though the vectors come from a
+    UDF: dimension is fixed and the embedder L2-normalizes, so every doc
+    must yield (64, 1.0) — a cross-engine check that the UDF ran, batched,
+    and normalized correctly for every row."""
     from ..functions.vector import l2_norm
 
     docs = load_table(spark, sf_dir, "documents")
