@@ -439,6 +439,42 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@op("q_string_agg", oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation
+    GROUP BY n_regionkey
+""")
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation. collect_list order is nondeterministic
+    under parallelism, so sort_array pins it — the only correct way to
+    LISTAGG on a distributed engine."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@op("q_percentile", oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+""")
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (both engines define quantile_cont /
+    percentile identically: linear interpolation on the sorted values).
+    percentile_approx stays banned — approximate results can't hash-match
+    (SURVEY §5); at 100 TB exact percentile costs a sort per group, which
+    is the price of a reproducible answer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
 # --------------------------------------------------------- subqueries / CTE
 
 # Written in the Spark/DuckDB common dialect: the *same* SQL text runs on

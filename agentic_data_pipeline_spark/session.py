@@ -40,12 +40,24 @@ def tune(spark: SparkSession) -> SparkSession:
 
     Safe to call repeatedly; silently skips confs the session refuses to set
     at runtime (none of RUNTIME_CONFS are static, but be defensive).
+
+    Also right-sizes ``spark.sql.shuffle.partitions`` when the session still
+    carries the stock 200: on a local[N] box 200 tiny shuffle partitions is
+    pure scheduling overhead (observed on the verification driver's vanilla
+    session); on a real cluster the deployment sets its own value, which is
+    left untouched.
     """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(default_parallelism()))
+    except Exception:
+        pass
     return spark
 
 
