@@ -257,6 +257,35 @@ def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("q_window_nav", oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           LAG(o_totalprice) OVER w              AS prev_price,
+           LEAD(o_totalprice) OVER w             AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w      AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                 AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (lag/lead/first/last) over a total
+    per-partition order — the remaining §2.2 window class."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
+
+
 # -------------------------------------------------------------------- joins
 
 @op("q_join_inner", oracle="""
