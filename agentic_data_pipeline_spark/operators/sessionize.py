@@ -18,8 +18,9 @@ C = F.col
 
 GAP_US = 30 * 60 * 1_000_000
 
-
-@op("ext_sessionize", oracle=f"""
+# Shared with stream_sessionize (operators/streaming_ops.py): a single
+# availableNow pass of the stateful stream reproduces this batch result.
+SESSIONIZE_ORACLE = f"""
     WITH e AS (
         SELECT user_id,
                event_id,
@@ -44,7 +45,10 @@ GAP_US = 30 * 60 * 1_000_000
                                                             AS sum_value
     FROM s
     GROUP BY user_id, session_id
-""")
+"""
+
+
+@op("ext_sessionize", oracle=SESSIONIZE_ORACLE)
 def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30 min) per user over the events table.
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import table_path
 from ..registry import op
 from ..streaming.windows import run_stream_to_table
+from .sessionize import SESSIONIZE_ORACLE as _SESSIONIZE_ORACLE
 
 
 def _as_stream_dir(parquet_path: str) -> str:
@@ -44,4 +45,88 @@ def stream_tumble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window agg over events via readStream (availableNow)."""
     table = f"stream_tumble_{uuid.uuid4().hex[:8]}"
     run_stream_to_table(spark, _as_stream_dir(table_path(sf_dir, "events")), table)
+    return spark.table(table)
+
+
+@op("stream_sliding", oracle="""
+    WITH e AS (
+        SELECT unnest([CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT),
+                       CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) - 3600])
+                   AS bucket_epoch,
+               event_type, value
+        FROM events
+    )
+    SELECT bucket_epoch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
+               AS sum_value
+    FROM e
+    GROUP BY 1, 2
+""")
+def stream_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg (2h window / 1h slide) via readStream: every event
+    contributes to exactly two buckets. Oracle models window assignment by
+    unnesting each event into its two slide-aligned window starts."""
+    from ..streaming.windows import run_to_memory, stream_sliding_agg
+
+    table = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    sdf = stream_sliding_agg(
+        spark, _as_stream_dir(table_path(sf_dir, "events")))
+    run_to_memory(sdf, table, output_mode="complete")
+    return spark.table(table)
+
+
+@op("stream_dedup", oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+""")
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicates state: the distinct
+    (user_id, event_type) pairs, hash-equal to batch SELECT DISTINCT.
+    Scale note in stream_distinct: unbounded streams swap in
+    dropDuplicatesWithinWatermark for TTL'd state."""
+    from ..streaming.windows import run_to_memory, stream_distinct
+
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    sdf = stream_distinct(spark, _as_stream_dir(table_path(sf_dir, "events")))
+    run_to_memory(sdf, table, output_mode="append")
+    return spark.table(table)
+
+
+@op("stream_join", oracle="""
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           (CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
+               AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+""")
+def stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: event stream joined to broadcast
+    customer→nation dims, aggregated per (nation, event_type)."""
+    from ..catalog import load_table
+    from ..streaming.windows import run_to_memory, stream_static_enrich
+
+    table = f"stream_join_{uuid.uuid4().hex[:8]}"
+    sdf = stream_static_enrich(
+        spark, _as_stream_dir(table_path(sf_dir, "events")),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"))
+    run_to_memory(sdf, table, output_mode="complete")
+    return spark.table(table)
+
+
+@op("stream_sessionize", oracle=_SESSIONIZE_ORACLE)
+def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessions per user, carrying (last_ts, session_id) state across
+    micro-batches. A single availableNow pass reproduces the batch
+    ext_sessionize result exactly, so it shares that op's DuckDB oracle —
+    hash-parity for the hardest streaming API in the surface."""
+    from ..streaming.sessions import run_sessionize_to_table
+
+    table = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    run_sessionize_to_table(
+        spark, _as_stream_dir(table_path(sf_dir, "events")), table)
     return spark.table(table)

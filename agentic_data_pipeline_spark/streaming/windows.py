@@ -54,6 +54,81 @@ def stream_tumbling_agg(spark: SparkSession, input_dir: str,
     )
 
 
+def stream_sliding_agg(spark: SparkSession, input_dir: str,
+                       window: str = "2 hours", slide: str = "1 hour",
+                       watermark: str = "4 hours") -> DataFrame:
+    """Sliding (hopping) window counts/sums: each event lands in
+    window/slide overlapping buckets (2 here). Same state-bounding
+    watermark story as the tumbling form; at 100 TB the state size is
+    (#open windows × #groups), i.e. overlap factor × the tumbling state —
+    the overlap factor, not the data volume, is the knob.
+    """
+    tune(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_us", watermark)
+    )
+    return (
+        stream.groupBy(F.window("ts_us", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("bucket_epoch"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
+def stream_distinct(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming exact dedup: the distinct (user_id, event_type) pairs seen
+    so far. `dropDuplicates` keeps one state row per distinct key — exact,
+    but the state never ages out. For an unbounded 100 TB/day stream switch
+    to `dropDuplicatesWithinWatermark` (same plan + state TTL at the cost of
+    only-within-horizon exactness); for bounded/availableNow runs the exact
+    form is right and matches SELECT DISTINCT bit-for-bit.
+    """
+    tune(spark)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return stream.select("user_id", "event_type").dropDuplicates()
+
+
+def stream_static_enrich(spark: SparkSession, input_dir: str,
+                         customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with customer→nation dims
+    and aggregate per (nation, event_type).
+
+    The static side is planned per micro-batch and broadcast (both dims are
+    small); the stream side never shuffles for the join — only the final
+    aggregation exchanges on the group key. This is the canonical shape for
+    dimension enrichment at 100 TB/day: dims broadcast, facts stay put.
+    """
+    tune(spark)
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey")
+    ).join(nation.select("n_nationkey", "n_name"),
+           F.col("c_nationkey") == F.col("n_nationkey")) \
+        .select("user_id", F.col("n_name").alias("nation"))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value").alias("sum_value"))
+    )
+
+
+def run_to_memory(sdf: DataFrame, table: str,
+                  output_mode: str = "complete") -> None:
+    """Drive any streaming DataFrame with availableNow into an in-memory
+    sink table (the batch-parity harness shared by the stream_* ops)."""
+    q = (
+        sdf.writeStream.format("memory").queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_to_bronze(spark: SparkSession, input_dir: str, lake_dir: str,
                      name: str, checkpoint_dir: str) -> str:
     """Streaming ingestion into the bronze lake via foreachBatch: each
