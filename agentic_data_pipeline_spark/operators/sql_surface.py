@@ -715,3 +715,82 @@ def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------- subqueries / lateral / sets
+
+_EXISTS_SQL = """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= 49
+                    AND l.l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_tax > 0.07)
+"""
+
+
+@op("q_exists", oracle=_EXISTS_SQL)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one predicate, via spark.sql.
+
+    Catalyst decorrelates both subqueries into a left-semi and a left-anti
+    join on l_orderkey (RewritePredicateSubquery) — at 100 TB that is two
+    shuffled key joins, never a per-row subquery execution. Distinct from
+    q_join_semi/q_join_anti, which declare the joins directly: this op
+    checks the *SQL front-end* path an LLM would emit."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_EXISTS_SQL)
+
+
+@op("q_lateral", oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM w
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+""")
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/UNNEST (UDTF shape): explode document text into words, count
+    the global top-20. The explode is a narrow per-row flatMap (no shuffle);
+    the only exchange is the word-count aggregation, which map-side combines
+    before it moves — the classic word-count plan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(C("text"), " ")).alias("word"))
+        .filter(C("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(C("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+           CAST(COUNT(*) AS BIGINT)             AS cnt,
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                / 100.0)                        AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@op("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the general form
+    behind ROLLUP/CUBE (q_rollup/q_cube cover the sugar). GROUPING() is the
+    only reliable way to tell a subtotal row's NULL from a data NULL; both
+    engines emit identical markers. One expand + one hash aggregate: the
+    expand multiplies rows by #sets *before* the exchange, so at scale
+    prefer the minimal set list over CUBE's 2^n."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUPING_SETS_SQL)
