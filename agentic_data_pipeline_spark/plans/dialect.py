@@ -21,8 +21,40 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import bind_current_table
 from ..session import tune
 
+# strftime % codes → java.time patterns (the common subset an LLM emits).
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"), ("%%", "%"),
+]
+
+
+def _xlate_strftime(m: re.Match[str]) -> str:
+    fmt = m.group(2)
+    for duck, java in _STRFTIME_MAP:
+        fmt = fmt.replace(duck, java)
+    return f"date_format({m.group(1)}, '{fmt}')"
+
+
 # DuckDB → Spark SQL function/dialect rewrites (word-boundary, case-insensitive).
-_FN_REWRITES: list[tuple[re.Pattern[str], str]] = [
+# Replacement is a string or a re.sub callable.
+_FN_REWRITES: list[tuple[re.Pattern[str], object]] = [
+    # SELECT * EXCLUDE (c)  →  SELECT * EXCEPT (c)
+    (re.compile(r"\bexclude\s*\(", re.I), "EXCEPT ("),
+    # epoch(ts) → seconds; DuckDB returns DOUBLE, so cast to match.
+    # (Non-nested argument only — LLM-shaped SQL.)
+    (re.compile(r"\bepoch\s*\(([^()]*)\)", re.I),
+     r"CAST(unix_timestamp(\1) AS DOUBLE)"),
+    # regexp_matches(s, p) → regexp_like(s, p)
+    (re.compile(r"\bregexp_matches\s*\(", re.I), "regexp_like("),
+    # quantile_cont(x, q) → percentile(x, q): both exact interpolated.
+    (re.compile(r"\bquantile_cont\s*\(", re.I), "percentile("),
+    # string_agg(x, sep) → listagg(x, sep) (order unspecified in both
+    # without WITHIN GROUP, which Spark's listagg also accepts).
+    (re.compile(r"\bstring_agg\s*\(", re.I), "listagg("),
+    # strftime(ts, '%Y-%m-%d') → date_format(ts, 'yyyy-MM-dd')
+    # (simple first-arg / literal-format calls only — LLM-shaped SQL).
+    (re.compile(r"\bstrftime\s*\(([^,()]+),\s*'([^']*)'\s*\)", re.I),
+     _xlate_strftime),
     # json_extract_string(j, p)  →  get_json_object(j, p)
     (re.compile(r"\bjson_extract_string\s*\(", re.I), "get_json_object("),
     # string_split(s, sep)[n]  →  element_at(split(s, sep), n):
@@ -56,11 +88,113 @@ def strip_markdown_fences(sql: str) -> str:
     return _MD_FENCE.sub("", sql).strip().rstrip(";")
 
 
+def _find_top_level(sql: str, word: str, start: int = 0) -> int:
+    """Index of ``word`` at paren-depth 0 outside string literals, or -1.
+    Case-insensitive, word-boundary semantics."""
+    depth = 0
+    i, n, w = start, len(sql), len(word)
+    lower = sql.lower()
+    word = word.lower()
+    while i < n:
+        c = sql[i]
+        if c == "'":                      # skip string literal ('' escapes)
+            i += 1
+            while i < n:
+                if sql[i] == "'" and not (i + 1 < n and sql[i + 1] == "'"):
+                    break
+                i += 2 if sql[i] == "'" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and lower.startswith(word, i):
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            after = i + w
+            after_ok = after >= n or not (sql[after].isalnum() or sql[after] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_qualify(sql: str) -> str:
+    """DuckDB QUALIFY → a Spark-legal wrap (Spark has no QUALIFY clause).
+
+    ``SELECT ... QUALIFY <pred> [ORDER BY/LIMIT ...]`` becomes::
+
+        SELECT * EXCEPT (__qualify) FROM (
+            SELECT *, (<pred>) AS __qualify FROM (<head>) __q
+        ) WHERE __qualify [ORDER BY/LIMIT ...]
+
+    The predicate's window functions are evaluated over the head query's
+    output — the same rows QUALIFY sees. Limitation (documented): the
+    predicate may only reference columns the head SELECTs (DuckDB also
+    allows unprojected base columns there; LLM-shaped QUALIFY predicates
+    rank by projected columns, which is the case this shim rescues).
+    """
+    idx = _find_top_level(sql, "qualify")
+    if idx < 0:
+        return sql
+    head = sql[:idx].strip()
+    rest = sql[idx + len("qualify"):]
+    cut = len(rest)
+    for kw in ("order", "limit"):
+        k = _find_top_level(rest, kw)
+        if k >= 0:
+            cut = min(cut, k)
+    pred, tail = rest[:cut].strip(), rest[cut:].strip()
+    out = (f"SELECT * EXCEPT (__qualify) FROM ("
+           f"SELECT *, ({pred}) AS __qualify FROM ({head}) __q"
+           f") WHERE __qualify")
+    return f"{out} {tail}" if tail else out
+
+
+def rewrite_list_literals(sql: str) -> str:
+    """DuckDB ``[a, b, c]`` list literals → Spark ``array(a, b, c)``.
+
+    A ``[`` is a *literal* when the previous non-space char is not an
+    identifier char / ``)`` / ``]`` / ``'`` (those mean indexing, which
+    stays bracketed for the element_at shim above). Nested literals
+    handled; brackets inside string literals left alone.
+    """
+    out: list[str] = []
+    # stack entry: True if the open bracket at this depth was a literal
+    stack: list[bool] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "[":
+            k = len(out) - 1
+            while k >= 0 and out[k].isspace():
+                k -= 1
+            prev = out[k][-1] if k >= 0 else ""
+            literal = not (prev.isalnum() or prev in "_)]'")
+            stack.append(literal)
+            out.append("array(" if literal else "[")
+        elif c == "]" and stack:
+            out.append(")" if stack.pop() else "]")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def duckdb_to_spark_sql(sql: str) -> str:
     """Best-effort DuckDB→Spark dialect rewrite for LLM-generated SQL."""
     out = strip_markdown_fences(sql)
+    out = rewrite_qualify(out)
     for pat, repl in _FN_REWRITES:
         out = pat.sub(repl, out)
+    out = rewrite_list_literals(out)
     return out
 
 

@@ -43,6 +43,36 @@ CASES = [
     ("coalesce_nullif", """
         SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS st
         FROM CURRENT_TABLE WHERE o_orderkey < 50"""),
+    ("qualify_topn", """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM CURRENT_TABLE
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) = 1"""),
+    ("qualify_with_tail", """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM CURRENT_TABLE
+        QUALIFY RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC) <= 2
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""),
+    ("star_exclude", """
+        SELECT * EXCLUDE (o_orderpriority, o_orderdate) FROM CURRENT_TABLE
+        WHERE o_orderkey < 20"""),
+    ("list_literal", """
+        SELECT o_orderkey FROM CURRENT_TABLE
+        WHERE list_contains(['1-URGENT', '2-HIGH'], o_orderpriority)
+          AND o_orderkey < 200"""),
+    ("epoch_rewrite", """
+        SELECT o_orderkey, epoch(o_orderdate) AS es
+        FROM CURRENT_TABLE WHERE o_orderkey < 50"""),
+    ("strftime_rewrite", """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym
+        FROM CURRENT_TABLE WHERE o_orderkey < 50"""),
+    ("regexp_matches_rewrite", """
+        SELECT o_orderkey FROM CURRENT_TABLE
+        WHERE regexp_matches(o_orderpriority, 'URGENT|HIGH') AND o_orderkey < 100"""),
+    ("quantile_cont_rewrite", """
+        SELECT quantile_cont(o_totalprice, 0.5) AS med FROM CURRENT_TABLE"""),
+    ("string_agg_rewrite", """
+        SELECT o_orderkey, string_agg(o_orderstatus, '|') AS st
+        FROM CURRENT_TABLE WHERE o_orderkey < 30 GROUP BY o_orderkey"""),
 ]
 
 
