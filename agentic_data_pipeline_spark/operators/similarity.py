@@ -128,6 +128,39 @@ def _cosine_topk(index: DataFrame, q, qn, k: int, id_col: str,
     )
 
 
+def vector_search_batch(index: DataFrame, query_vec: list[float], k: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
+
+    The big-corpus twin of vector_search: each Arrow batch is scored as one
+    BLAS matrix-vector product and reduced to a per-batch top-k, so only
+    k rows per batch reach the final TakeOrderedAndProject. Measured on a
+    2M x 64 synthetic corpus (scripts/probe_vector_scale.py, local[32]):
+    0.84 s vs 1.46 s for the JVM HOF fold — and the BLAS advantage grows
+    with dimension (real embedding models emit 384-1536 dims). Sims agree
+    with the fold to 6dp (both computed in float64; summation order differs
+    only in the last ulp), which is why the *oracle-checked* vector_search
+    stays on the bit-exact fold while this is the scale path.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            top = np.argsort(-sims)[:k]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top],
+                                "sim": np.round(sims[top], 6)})
+
+    scored = index.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} bigint, sim double")
+    return scored.orderBy(C("sim").desc(), C(id_col)).limit(k)
+
+
 def vector_search_by_id(index: DataFrame, query_id: int, k: int = 5,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:

@@ -90,3 +90,21 @@ def test_ann_ivf_recall_vs_exact(spark):
     approx = {r["vec_id"] for r in ext_ann_ivf(spark, sf).collect()}
     assert len(approx) == 5
     assert len(exact & approx) >= 2  # weak-structure fixture: 3/5 typical @ nprobe=6
+
+
+def test_vector_search_batch_matches_exact(spark):
+    """The numpy/mapInPandas scale path must return the same neighbors and
+    6dp-identical sims as the oracle-checked JVM fold."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.similarity import (
+        vector_search, vector_search_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = [(r["vec_id"], round(r["sim"], 6))
+             for r in vector_search(emb, qv, k=5).collect()]
+    batch = [(r["vec_id"], round(r["sim"], 6))
+             for r in vector_search_batch(emb, qv, k=5).collect()]
+    assert exact == batch
