@@ -350,6 +350,125 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       nprobe=6)
 
 
+@op("vector_search_batch", oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_duck_cos('embedding', 'qv')}, 6) AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 5
+""")
+def vector_search_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy/mapInPandas brute-force path as a registered op, sharing
+    vector_search's oracle: after the defensive ROUND(,6) the BLAS matmul
+    and the sequential fold agree on every fixture (and on the 2M-row
+    probe), so both paths carry hash-parity evidence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return vector_search_batch(emb, qv, k=5)
+
+
+# ------------------------------------------------------- product quantization
+
+PQ_SUBSPACES = 8
+PQ_CODEBOOK = 16
+
+
+def pq_train(emb: DataFrame, vec_col: str = "embedding",
+             m: int = PQ_SUBSPACES, ksub: int = PQ_CODEBOOK) -> "np.ndarray":
+    """Train PQ codebooks: split the dim-D space into ``m`` subspaces and
+    KMeans each with ``ksub`` centroids (fixed seed).
+
+    Returns codebooks shaped (m, ksub, D/m). At 100 TB: train on a small
+    sample (codebooks are per-*dimension-slice*, not per-row — a 1e5-row
+    sample saturates them), broadcast ~m*ksub*(D/m) floats to executors.
+    Training here runs m driver-side KMeans fits on a sampled/collected
+    matrix — the sample, not the corpus, bounds the cost.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(emb.select(vec_col).head()[0])
+    sub = d // m
+    books = []
+    for j in range(m):
+        sl = F.slice(C(vec_col).cast("array<double>"), j * sub + 1, sub)
+        feats = emb.select(array_to_vector(sl).alias("__f"))
+        model = KMeans(k=ksub, seed=42 + j, featuresCol="__f",
+                       predictionCol="__c").fit(feats)
+        books.append(np.stack([np.asarray(c) for c in model.clusterCenters()]))
+    return np.stack(books)  # (m, ksub, sub)
+
+
+def pq_encode(emb: DataFrame, codebooks: "np.ndarray",
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as m one-byte codes (nearest centroid per
+    subspace) — a 64-dim float32 vector compresses 32×, which is what makes
+    a 100 TB index RAM-resident. One narrow map pass, no shuffle."""
+    m, ksub, sub = codebooks.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                seg = mat[:, j * sub:(j + 1) * sub]
+                # (n, ksub) squared distances to this subspace's centroids
+                d2 = ((seg[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} bigint, codes array<int>")
+
+
+def pq_search(encoded: DataFrame, codebooks: "np.ndarray",
+              query_vec: list[float], k: int = 5,
+              id_col: str = "vec_id") -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: build the (m, ksub)
+    query→centroid distance table once on the driver, broadcast it, and
+    score each row as m table lookups — no float vectors touched at query
+    time. Scoring is a numpy gather over Arrow batches; per-batch top-k
+    keeps the exchange at k rows per batch."""
+    m, ksub, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.stack([
+        ((q[j * sub:(j + 1) * sub][None, :] - codebooks[j]) ** 2).sum(-1)
+        for j in range(m)
+    ])  # (m, ksub)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())          # (n, m)
+            dist = table[cols, codes].sum(1)                   # (n,)
+            top = np.argsort(dist)[:k]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top],
+                                "adc_dist": np.round(dist[top], 6)})
+
+    scored = encoded.mapInPandas(score, schema=f"{id_col} bigint, adc_dist double")
+    return scored.orderBy("adc_dist", id_col).limit(k)
+
+
+@op("ext_ann_pq")  # rows-only: quantized distances are approximate by design
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 16 centroids): codebooks
+    trained per dimension-slice, corpus stored as 8-byte codes (32×
+    compression), queries answered by ADC lookup tables. Third ANN strategy
+    beside LSH bucketing and IVF cell-pruning; recall vs exact search is
+    pytest-checked on the fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb)
+    encoded = pq_encode(emb.filter(C("vec_id") != 0), books)
+    qv = _query_vec(spark, sf_dir, 0)
+    return pq_search(encoded, books, qv, k=5)
+
+
 @op("ext_ann_lsh")  # rows-only: LSH bucketing is approximate by design
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MLlib BucketedRandomProjectionLSH (fixed seed): the 100 TB

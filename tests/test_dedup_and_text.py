@@ -108,3 +108,21 @@ def test_vector_search_batch_matches_exact(spark):
     batch = [(r["vec_id"], round(r["sim"], 6))
              for r in vector_search_batch(emb, qv, k=5).collect()]
     assert exact == batch
+
+
+def test_ann_pq_recall_vs_exact(spark):
+    """PQ/ADC approx top-5 should overlap with exact top-5 (weak-structure
+    fixture: partial recall expected, exact distances are quantized away)."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.similarity import (
+        ext_ann_pq, vector_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = {r["vec_id"] for r in
+             vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
+    approx = {r["vec_id"] for r in ext_ann_pq(spark, sf).collect()}
+    assert len(approx) == 5
+    assert len(exact & approx) >= 1  # 16^8 code space vs near-random vectors
