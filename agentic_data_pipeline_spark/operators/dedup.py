@@ -240,3 +240,101 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id",
                 F.round(jaccard(C("a_g"), C("b_g")), 6).alias("jaccard"))
     )
+
+
+# ------------------------------------------------- near-dup clustering (CC)
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``vertices``: one column ``id``; ``edges``: columns ``s``, ``t``
+    (undirected — symmetrized here). Returns (id, component_id) where
+    component_id = min id reachable (isolated vertices map to themselves).
+
+    Each round: every vertex takes min(own label, neighbors' labels) — one
+    shuffle on the edge key + one on the vertex id. Labels are monotone
+    non-increasing, so the rounds needed = the graph diameter; near-dup
+    graphs are tiny dense clusters (diameter ≤ 3-4 in practice). Lineage is
+    cut with localCheckpoint each round (iterative plans otherwise grow
+    exponentially); convergence is detected by the label-sum fixpoint (one
+    cheap agg per round — strictly decreasing until converged). At much
+    larger diameters switch to large-star/small-star (Kiveris '14), which
+    converges in O(log n) rounds over the same primitives.
+    """
+    sym = edges.select("s", "t").union(
+        edges.select(C("t").alias("s"), C("s").alias("t")))
+    comp = vertices.select(C("id"), C("id").alias("comp")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = (
+            comp.join(sym, C("id") == C("s"))
+            .groupBy(C("t").alias("_mid"))
+            .agg(F.min("comp").alias("_nbr_min"))
+        )
+        comp = (
+            comp.join(msgs, C("id") == C("_mid"), "left")
+            .select("id",
+                    F.least(C("comp"), F.coalesce(C("_nbr_min"), C("comp")))
+                    .alias("comp"))
+            .localCheckpoint()
+        )
+        s = comp.agg(F.sum("comp")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return comp.select(C("id"), C("comp").alias("component_id"))
+
+
+@op("ext_dedup_components", oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))))
+              > 0.35
+    ), edges AS (
+        SELECT a_id AS s, b_id AS t FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ), reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+        SELECT s AS vec_id, LEAST(s, MIN(t)) AS component_id
+        FROM reach GROUP BY s
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(c.component_id, e.vec_id) AS BIGINT) AS component_id
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+""")
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the
+    embedding-cosine near-dup graph (label-blocked pairs, cos > 0.35 on the
+    near-random fixture vectors). component_id = min member id — the
+    canonical-survivor rule dedup keeps one document per cluster with.
+    Oracle: DuckDB recursive CTE computing the same min-reachable label."""
+    from ..functions.vector import dot, l2_norm
+    from ..catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    a = emb.select(C("vec_id").alias("a_id"), C("label").alias("a_label"),
+                   C("embedding").alias("a_vec"),
+                   l2_norm(C("embedding")).alias("a_n"))
+    b = emb.select(C("vec_id").alias("b_id"), C("label").alias("b_label"),
+                   C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
+    edges = (
+        a.join(b, (C("a_label") == C("b_label")) & (C("a_id") < C("b_id")))
+        .filter(sim > 0.35)
+        .select(C("a_id").alias("s"), C("b_id").alias("t"))
+    )
+    vertices = emb.select(C("vec_id").alias("id"))
+    return connected_components(vertices, edges) \
+        .select(C("id").alias("vec_id"), "component_id")

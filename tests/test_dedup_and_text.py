@@ -126,3 +126,16 @@ def test_ann_pq_recall_vs_exact(spark):
     approx = {r["vec_id"] for r in ext_ann_pq(spark, sf).collect()}
     assert len(approx) == 5
     assert len(exact & approx) >= 1  # 16^8 code space vs near-random vectors
+
+
+def test_connected_components_transitive(spark):
+    """A chain a-b, b-c must merge into one component (transitivity), and
+    isolated vertices stay singletons."""
+    from agentic_data_pipeline_spark.operators.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "s bigint, t bigint")
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(vertices, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
