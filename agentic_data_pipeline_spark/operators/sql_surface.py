@@ -286,6 +286,36 @@ def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("q_window_range", oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT)  AS n_within_50k,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0          AS sum_within_50k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
+""")
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-based): per customer,
+    how many of their orders fall within $50k below each order's price.
+    Frames are defined on exact fixed-point cents, so tie groups (peers) are
+    identical in both engines — RANGE includes all peers, which is what
+    makes this deterministic where a ROWS frame over ties would not be."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(cents("o_totalprice"))
+         .rangeBetween(-5_000_000, Window.currentRow))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_within_50k"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0)
+        .alias("sum_within_50k"),
+    )
+
+
 # -------------------------------------------------------------------- joins
 
 @op("q_join_inner", oracle="""
