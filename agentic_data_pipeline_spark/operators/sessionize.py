@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.helpers import cents
 from ..registry import op
 
 C = F.col
@@ -74,7 +75,7 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("min(ts_us) div 1000000").alias("session_start_epoch"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(C("value") * 100, 0).cast("bigint")).cast("double") / 100.0)
+            (F.sum(cents(C("value"))).cast("double") / 100.0)
             .alias("sum_value"),
         )
     )

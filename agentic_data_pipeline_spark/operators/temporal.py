@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.helpers import cents
 from ..registry import op
 
 C = F.col
@@ -100,7 +101,7 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier_name")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
+            (F.sum(cents(C("value")))
              .cast("double") / 100.0).alias("sum_value"),
         )
     )
