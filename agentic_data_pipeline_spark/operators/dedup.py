@@ -22,7 +22,7 @@ MinHash-LSH construction from Broder '97 / MMDS ch.3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -338,3 +338,38 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices = emb.select(C("vec_id").alias("id"))
     return connected_components(vertices, edges) \
         .select(C("id").alias("vec_id"), "component_id")
+
+
+@op("ext_dedup_resolve", oracle=r"""
+    SELECT doc_id, source, n_chars,
+           CAST(COUNT(*) OVER (PARTITION BY
+               md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT)
+               AS n_copies
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        ORDER BY n_chars DESC, doc_id) = 1
+""")
+def ext_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION: the corpus after keeping one canonical survivor
+    per exact-duplicate group (best quality proxy = longest raw text, tie →
+    lowest doc_id) — the step that turns dedup *detection* (ext_dedup_exact
+    / ext_dedup_components) into the cleaned training corpus.
+
+    Shape at scale: one shuffle on the content fingerprint; survivor choice
+    and group size come from the same window pass, so no self-join back to
+    the corpus. (For NEAR-dup clusters the identical window runs partitioned
+    by ext_dedup_components' component_id instead of the fingerprint.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")), "utf-8"))
+    tagged = docs.withColumn("fp", fp)
+    w_pick = Window.partitionBy("fp").orderBy(C("n_chars").desc(), "doc_id")
+    w_size = Window.partitionBy("fp")
+    return (
+        tagged
+        .withColumn("n_copies", F.count(F.lit(1)).over(w_size))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(C("rn") == 1)
+        .select("doc_id", "source", "n_chars", "n_copies")
+    )

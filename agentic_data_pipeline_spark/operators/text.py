@@ -9,7 +9,7 @@ each is oracle-checked against DuckDB computing the identical formula.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -189,4 +189,58 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("shard_key"),
+    )
+
+
+@op("ext_tfidf", oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM words WHERE word <> '' GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, word,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, word) <= 5
+""")
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (the classic corpus-keyword op).
+
+    Shape at scale: one explode+agg shuffle keyed on (doc, word) for TF,
+    one agg on word for DF (its result is vocabulary-sized — small relative
+    to the corpus — so it broadcasts back), the corpus size N rides along
+    as a broadcast scalar, and the per-doc top-5 is a bounded window.
+    idf = ln(N/df), unsmoothed, pinned identically in the oracle; the
+    window orders by the UNROUNDED score with the word as tiebreaker so
+    both engines cut the same top-5.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    words = docs.select(
+        "doc_id", F.explode(F.split(norm, r"\s+")).alias("word")
+    ).filter(C("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = C("tf") * F.log(C("n_docs").cast("double") / C("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "word")
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(C("rn") <= 5)
+        .select("doc_id", "word", "tf", "df",
+                F.round(score, 6).alias("tfidf"))
     )

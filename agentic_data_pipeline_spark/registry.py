@@ -68,8 +68,8 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
-        dedup, flagship, multimodal, prep, reference_ops, rules, sampling,
-        sessionize,
+        analytics, dedup, flagship, multimodal, prep, reference_ops, rules,
+        sampling, sessionize,
         similarity, sql_surface, streaming_ops, temporal, text,
     )
     _loaded = True

@@ -81,3 +81,26 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert all(1 <= r["count"] <= 3 for r in per_asset)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_q3_q10_topk_and_broadcast(spark):
+    for op_id in ("q3_shipping_priority", "q10_returned_items"):
+        p = plan_of(spark, op_id)
+        assert "TakeOrderedAndProject" in p, op_id      # top-k, no global sort
+        assert "BroadcastHashJoin" in p, op_id          # dims broadcast
+    p3 = plan_of(spark, "q3_shipping_priority")
+    assert "o_orderdate" in p3.split("PushedFilters")[1][:200] or \
+        "IsNotNull" in p3  # date filter reaches the orders scan
+
+
+def test_q5_all_dims_broadcast(spark):
+    p = plan_of(spark, "q5_local_supplier_volume")
+    # 5 joins total; only lineitem-orders may shuffle. Every dim join is BHJ.
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_df_side_broadcasts(spark):
+    p = plan_of(spark, "ext_tfidf")
+    assert "BroadcastHashJoin" in p                     # vocabulary join
+    assert "EvalPython" not in p                        # pure Catalyst
