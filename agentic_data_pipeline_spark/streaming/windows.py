@@ -171,3 +171,32 @@ def run_stream_to_table(spark: SparkSession, input_dir: str, table: str,
         .start()
     )
     q.awaitTermination()
+
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession, enable: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store (or back).
+
+    The default HDFS-backed store keeps every key in executor heap — fine
+    for the fixture streams, lethal for a 100 TB/day stream whose
+    deduplication/session state outgrows memory. RocksDB spills state to
+    local SSD with incremental (changelog) checkpointing, bounding heap by
+    the block cache instead of by key count. Bundled with stock Spark ≥3.2;
+    takes effect for queries STARTED after the conf is set.
+    """
+    if enable:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       ROCKSDB_PROVIDER)
+        # Changelog checkpointing: upload per-batch deltas, not full
+        # SST snapshots — the difference between O(changed keys) and
+        # O(total state) per commit at scale.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true")
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")

@@ -30,3 +30,25 @@ def test_stream_to_bronze_foreachbatch(spark, sf_dir, tmp_path):
     stream_to_bronze(spark, src, str(tmp_path / "lake"), "events_rt",
                      checkpoint_dir=str(tmp_path / "ckpt"))
     assert spark.read.parquet(path).count() == exp.count()
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The tumbling agg produces identical results under the RocksDB state
+    store (the at-scale backend) and the default HDFS-backed one."""
+    from agentic_data_pipeline_spark.catalog import table_path
+    from agentic_data_pipeline_spark.operators.streaming_ops import _as_stream_dir
+    from agentic_data_pipeline_spark.streaming.windows import (
+        ROCKSDB_PROVIDER, run_stream_to_table, use_rocksdb_state)
+
+    src = _as_stream_dir(table_path(sf_dir, "events"))
+    run_stream_to_table(spark, src, "t_default_store")
+    use_rocksdb_state(spark)
+    try:
+        assert (spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER)
+        run_stream_to_table(spark, src, "t_rocksdb_store")
+    finally:
+        use_rocksdb_state(spark, enable=False)
+    a = sorted(map(tuple, spark.table("t_default_store").collect()))
+    b = sorted(map(tuple, spark.table("t_rocksdb_store").collect()))
+    assert a == b and len(a) > 0
