@@ -68,7 +68,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
-        analytics, dedup, flagship, multimodal, prep, reference_ops, rules,
+        analytics, approx, dedup, flagship, multimodal, prep, reference_ops, rules,
         sampling, sessionize,
         similarity, sql_surface, streaming_ops, temporal, text,
     )
