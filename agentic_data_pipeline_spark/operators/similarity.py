@@ -490,3 +490,38 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       key_row["features"], 5)
     return nn.select("vec_id", F.round(C("distCol"), 6).alias("dist")) \
         .orderBy("dist", "vec_id")
+
+
+@op("ext_kmeans_clusters")  # rows-only: float iteration order is engine-local
+def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering: MLlib k-means over the embedding column (fixed
+    seed), emitting per-cluster size and centroid norm — the standard
+    corpus-organization / topic-bucketing pass before per-cluster sampling
+    or dedup in a training-data pipeline.
+
+    Scale shape: k-means|| init + Lloyd iterations are each one map
+    (distance to k centroids, local partial sums) + one tiny reduce (k
+    centroid updates) — embarrassingly parallel per iteration; the model
+    (k × dim doubles) broadcasts. Also the IVF coarse quantizer
+    (ext_ann_ivf) if its cells are trained rather than hashed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id",
+                      array_to_vector(C("embedding").cast("array<double>"))
+                      .alias("features"))
+    model = KMeans(k=8, seed=42, maxIter=10).fit(vecs)
+    assigned = model.transform(vecs)
+    return (
+        assigned.groupBy(C("prediction").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.min("vec_id").alias("min_vec_id"))
+        .join(
+            spark.createDataFrame(
+                [(i, float(sum(x * x for x in c) ** 0.5))
+                 for i, c in enumerate(model.clusterCenters())],
+                "cluster_id int, centroid_norm double"),
+            "cluster_id")
+    )

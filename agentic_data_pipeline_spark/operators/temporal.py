@@ -105,3 +105,67 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double") / 100.0).alias("sum_value"),
         )
     )
+
+
+@op("ext_gap_fill", oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               DATE_TRUNC('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                / 100.0) AS sum_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+    ), series AS (
+        SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT s.event_type,
+           CAST(epoch(s.h) AS BIGINT)       AS bucket_epoch,
+           COALESCE(hourly.cnt, 0)          AS cnt,
+           COALESCE(hourly.sum_value, 0.0)  AS sum_value,
+           LAST_VALUE(hourly.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS UNBOUNDED PRECEDING)    AS locf_value
+    FROM series s LEFT JOIN hourly USING (event_type, h)
+""")
+def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (hypertable `time_bucket_gapfill` shape):
+    per event type, the dense hourly series between that type's first and
+    last event — missing hours materialized with zero counts plus a
+    last-observation-carried-forward value column.
+
+    Shape at scale: the hourly pre-aggregation collapses the raw stream to
+    (#types × #hours) rows BEFORE the series is generated, so the dense
+    grid (sequence + explode) and the LOCF window run on bucket-cardinality
+    data — gap filling never touches raw-event volume. One shuffle for the
+    pre-agg, one bucket-sized one for the window.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", C("ts_us")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             (F.sum(cents(C("value"))).cast("double") / 100.0)
+             .alias("sum_value"))
+    )
+    series = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select("event_type",
+                F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR")))
+                .alias("h"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        series.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("h").cast("bigint").alias("bucket_epoch"),
+            F.coalesce(C("cnt"), F.lit(0)).alias("cnt"),
+            F.coalesce(C("sum_value"), F.lit(0.0)).alias("sum_value"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
