@@ -239,3 +239,56 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = updates.unionByName(inserts)
     return merge_upsert(orders, source, key="o_orderkey")
+
+
+@op("q18_large_orders", oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                / 100.0) > 120
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest orders — the
+    HAVING-subquery-driven join.
+
+    Plan: the qualifying-orderkey set is computed with ONE aggregation over
+    lineitem and then semi-joined back (left_semi keeps the probe side
+    unduplicated); the outer aggregation re-groups only the qualifying
+    lineitems. At 100 TB both aggregations shuffle on the same key
+    (l_orderkey), so the exchange is reused across the two passes rather
+    than re-partitioned; the customer dim broadcasts into the final result.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg((F.sum(cents("l_quantity")).cast("double") / 100.0)
+                .alias("qty"))
+           .filter(C("qty") > 120)
+           .select("l_orderkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qualifying = li.join(
+        big.withColumnRenamed("l_orderkey", "b_orderkey"),
+        C("l_orderkey") == C("b_orderkey"), "left_semi")
+    return (
+        qualifying.join(orders, C("l_orderkey") == C("o_orderkey"))
+        .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg((F.sum(cents("l_quantity")).cast("double") / 100.0)
+             .alias("total_qty"))
+        .orderBy(C("total_qty").desc(), "o_orderkey")
+        .limit(25)
+    )

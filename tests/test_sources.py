@@ -103,3 +103,30 @@ def test_pdf_minimal_codec_roundtrip(spark):
     rows = ingest(spark, pdf_dir, "pdf").collect()
     by_page = {r["page"]: r["content"] for r in rows}
     assert by_page == {1: pages[0], 2: pages[1]}
+
+
+def test_bronze_schema_evolution(spark, tmp_path):
+    """Appending a batch with a NEW column must not corrupt the dataset:
+    the merged read surfaces the superset schema with nulls backfilled for
+    old files — the parquet-lake schema-evolution contract (mergeSchema)."""
+    from pyspark.sql import functions as F
+
+    from agentic_data_pipeline_spark.sources.bronze import (
+        bronze_path, read_bronze, write_bronze)
+
+    lake = str(tmp_path / "lake")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("source"))
+    write_bronze(v1, lake, "evolving")
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("source"), F.lit(0.9).alias("quality"))
+    write_bronze(v2, lake, "evolving", mode="append")
+
+    merged = (spark.read.option("mergeSchema", True)
+              .parquet(bronze_path(lake, "evolving")))
+    assert set(merged.columns) == {"id", "source", "quality"}
+    assert merged.count() == 8
+    # old rows surface with quality IS NULL, new rows carry their value
+    assert merged.filter("quality IS NULL").count() == 5
+    assert merged.filter("quality = 0.9").count() == 3
+    # the plain read_bronze path still works after evolution
+    assert read_bronze(spark, lake, "evolving").count() == 8
