@@ -244,3 +244,53 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tf", "df",
                 F.round(score, 6).alias("tfidf"))
     )
+
+
+@op("ext_repetition", oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, len(ws) AS n_words,
+               list_transform(range(1, GREATEST(len(ws) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                   AS bigrams
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams), 6) AS dup_bigram_frac,
+           (1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams)) > 0.2 AS is_repetitive
+    FROM grams
+""")
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher-rule family): the fraction of duplicated
+    word bigrams per document, plus the corpus-filter verdict — the
+    standard degenerate-text signal (looping generations, boilerplate)
+    in training-data quality pipelines.
+
+    Pure per-row Catalyst array expressions (shingle → distinct → ratio):
+    shuffle-free and codegen-resident like the rest of text.py — at 100 TB
+    this runs at scan speed next to the other per-doc scores.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    ws = F.split(norm, r"\s+")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(ws, i + 1),
+                                   F.element_at(ws, i + 2)))
+    dup_frac = (F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / F.size(bigrams))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        (dup_frac > 0.2).alias("is_repetitive"),
+    )
