@@ -241,6 +241,278 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(orders, source, key="o_orderkey")
 
 
+@op("q4_late_shipments", oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+""")
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with at least one
+    late line (shipped >60 days after the order date — the fixture's stand-in
+    for Q4's commitdate/receiptdate pair, which TESTDATA.md does not carry).
+
+    Plan: the EXISTS becomes a left-semi join with a non-equi conjunct
+    riding on the equi-key (l_orderkey = o_orderkey), so the probe side is
+    never duplicated and the date filter prunes orders at the scan. The
+    only shuffle pair is the orderkey join; the priority agg output is
+    5 rows — map-side partials collapse it to almost nothing.
+    """
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((C("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                      & (C("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (C("l_orderkey") == C("o_orderkey"))
+        & (C("l_shipdate") > C("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@op("q7_volume_shipping", oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_O_REVENUE} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice, l_discount
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    the two-role dimension join (nation joins twice under different names).
+
+    Plan: both nation roles and the supplier/customer dims broadcast; the
+    disjunctive nation-pair predicate can only be applied once both roles
+    are attached, but each broadcast side is pre-filtered to the two
+    nations of interest, so the fact rows that survive the hash probes are
+    already nearly final. lineitem↔orders stays the one big shuffle join.
+    """
+    nation = load_table(spark, sf_dir, "nation").filter(
+        C("n_name").isin("NATION_1", "NATION_2"))
+    n1 = nation.select(C("n_nationkey").alias("s_nkey"),
+                       C("n_name").alias("supp_nation"))
+    n2 = nation.select(C("n_nationkey").alias("c_nkey"),
+                       C("n_name").alias("cust_nation"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((C("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                  & (C("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"))
+    return (
+        li.join(orders, C("l_orderkey") == C("o_orderkey"))
+        .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
+        .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
+        .join(F.broadcast(n1), C("s_nationkey") == C("s_nkey"))
+        .join(F.broadcast(n2), C("c_nationkey") == C("c_nkey"))
+        .filter(((C("supp_nation") == "NATION_1") & (C("cust_nation") == "NATION_2"))
+                | ((C("supp_nation") == "NATION_2") & (C("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@op("q14_promo_revenue", oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                    AS DOUBLE)                        AS promo_pct,
+           {_O_REVENUE} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY date_trunc('month', l_shipdate)
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of promo-part revenue — the
+    conditional-aggregate ratio over a fact↔dim join.
+
+    Plan: part broadcasts (dim), the date filter prunes lineitem at the
+    scan, and both the conditional and total sums run in the same hash
+    aggregate pass in exact cents — the ratio divides two exactly-derived
+    doubles, so it hash-matches DuckDB bit-for-bit.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((C("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                  & (C("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+          .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate"))
+    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo_c = F.when(C("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), C("l_partkey") == C("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (F.sum(promo_c).cast("double") * 100.0
+             / F.sum(rev_c).cast("double")).alias("promo_pct"),
+            _revenue().alias("revenue"),
+        )
+    )
+
+
+@op("q17_small_quantity", oracle="""
+    WITH avgq AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))
+                           AS DOUBLE) / 100.0 / COUNT(l_quantity)) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN avgq USING (l_partkey)
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < qty_cut
+""")
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+    the per-key correlated-average subquery (quantity below 20% of that
+    part's average).
+
+    Plan: the per-partkey average is ONE aggregation over lineitem whose
+    result is part-cardinality (dim-sized), so it broadcasts back into the
+    fact probe — the classic decorrelation; no per-row subquery ever runs.
+    The brand filter rides the broadcast part dim. Output is a single row
+    (count + scaled sum), exact in cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avgq = (li.groupBy("l_partkey")
+            .agg((F.lit(0.2) * (F.sum(cents("l_quantity")).cast("double")
+                                / 100.0 / F.count("l_quantity")))
+                 .alias("qty_cut")))
+    part = (load_table(spark, sf_dir, "part")
+            .filter(C("p_brand") == "Brand#1").select("p_partkey"))
+    return (
+        li.join(F.broadcast(part), C("l_partkey") == C("p_partkey"))
+        .join(F.broadcast(avgq), "l_partkey")
+        .filter(C("l_quantity") < C("qty_cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0)
+            .alias("avg_yearly"),
+        )
+    )
+
+
+@op("q19_disjunctive_filter", oracle=f"""
+    SELECT {_O_REVENUE} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides — the
+    disjunctive-predicate planning test.
+
+    Plan: Catalyst extracts the common join key (p_partkey = l_partkey) so
+    the join stays a broadcast hash join, and pushes the single-side
+    residues of the disjunction (p_brand/p_size combos to the part scan,
+    l_quantity range union to the lineitem scan) below the join — visible
+    as PushedFilters on both scans; the mixed conjuncts evaluate as the
+    join's post-condition. One aggregate row out, exact in cents.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        ((C("p_brand") == "Brand#1") & C("p_size").between(1, 15)
+         & C("l_quantity").between(1, 11))
+        | ((C("p_brand") == "Brand#2") & C("p_size").between(10, 30)
+           & C("l_quantity").between(10, 20))
+        | ((C("p_brand") == "Brand#3") & C("p_size").between(20, 50)
+           & C("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), C("p_partkey") == C("l_partkey"))
+        .filter(cond)
+        .agg(_revenue().alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@op("q22_dormant_customers", oracle="""
+    WITH cutoff AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / COUNT(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    ), active AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_bal
+    FROM customer CROSS JOIN cutoff
+    WHERE c_acctbal > avg_bal
+      AND c_custkey NOT IN (SELECT o_custkey FROM active)
+    GROUP BY c_nationkey
+""")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders —
+    scalar-subquery threshold + NOT EXISTS anti join, grouped by nation.
+
+    Plan: the positive-balance average is a one-row aggregate broadcast as
+    a cross join (never collected to the driver); the recent-buyer set is
+    an anti-join build side that AQE sizes at runtime — at 100 TB it's the
+    distinct of a date-pruned scan, far smaller than the fact. The per-
+    nation agg is dim-cardinality. Exact cents everywhere.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (cust.filter(C("c_acctbal") > 0.0)
+               .agg((F.sum(cents("c_acctbal")).cast("double") / 100.0
+                     / F.count("c_acctbal")).alias("avg_bal")))
+    active = (load_table(spark, sf_dir, "orders")
+              .filter(C("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+              .select("o_custkey").distinct())
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(C("c_acctbal") > C("avg_bal"))
+        .join(active, C("c_custkey") == C("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             (F.sum(cents("c_acctbal")).cast("double") / 100.0)
+             .alias("total_bal"))
+    )
+
+
 @op("q18_large_orders", oracle="""
     WITH big AS (
         SELECT l_orderkey

@@ -100,6 +100,36 @@ def test_q5_all_dims_broadcast(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_q4_semi_join_no_duplication(spark):
+    p = plan_of(spark, "q4_late_shipments")
+    assert "LeftSemi" in p                              # EXISTS stays semi
+    assert "GreaterThanOrEqual(o_orderdate" in p        # date window pushed
+
+
+def test_q14_q19_part_broadcasts_and_pushdown(spark):
+    for op_id in ("q14_promo_revenue", "q19_disjunctive_filter"):
+        p = plan_of(spark, op_id)
+        assert "BroadcastHashJoin" in p, op_id          # part is a dim
+        assert "SortMergeJoin" not in p, op_id
+    # Q19's single-side residues of the OR reach the part scan as a filter.
+    p19 = plan_of(spark, "q19_disjunctive_filter")
+    assert "Or(" in p19.split("PushedFilters")[1][:400]
+
+
+def test_q17_decorrelated_avg_broadcasts(spark):
+    p = plan_of(spark, "q17_small_quantity")
+    # the per-partkey average joins back via broadcast, never a per-row
+    # subquery; two HashAggregates = the avg pass + the final scalar.
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    p = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in p                              # NOT IN → anti join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_tfidf_df_side_broadcasts(spark):
     p = plan_of(spark, "ext_tfidf")
     assert "BroadcastHashJoin" in p                     # vocabulary join
