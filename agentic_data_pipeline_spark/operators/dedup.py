@@ -242,6 +242,52 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ext_decontaminate", oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, GREATEST(len(w) - 7, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS s
+        FROM toks
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.s) AS BIGINT)      AS n_shingle_hits,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM (SELECT * FROM sh WHERE doc_id % 50 <> 0) c
+    JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0)  e ON c.s = e.s
+    GROUP BY c.doc_id
+""")
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any 8-word
+    shingle with the held-out eval set (every 50th doc stands in for the
+    benchmark corpus) — the standard train/test n-gram overlap check run
+    before every LLM training job (GPT-3 appendix C / PaLM style).
+
+    Shape at scale: the eval set is tiny relative to the corpus (benchmarks
+    are MBs, corpora are TBs), so its exploded shingle set BROADCASTS; the
+    corpus side explodes shingles map-side and probes the hash — no
+    corpus-sized shuffle at all. The per-doc agg shuffles only the matching
+    (doc, shingle) pairs, which contamination keeps rare by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.explode(word_shingles(C("text"), 8)).alias("s"))
+    corpus = sh.filter(C("doc_id") % 50 != 0)
+    ev = (sh.filter(C("doc_id") % 50 == 0)
+          .select(C("doc_id").alias("eval_id"), "s"))
+    return (
+        corpus.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shingle_hits"),
+             F.countDistinct("eval_id").alias("n_eval_docs"))
+    )
+
+
 # ------------------------------------------------- near-dup clustering (CC)
 
 def connected_components(vertices: DataFrame, edges: DataFrame,

@@ -6,7 +6,7 @@ oracle-checked; at 100 TB they are map-only passes fused into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -67,6 +67,61 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(C("salted"), F.lit(PHONE_PAT), F.lit(0)))
         .alias("n_phones"),
         F.md5(F.encode(redact(C("salted")), "utf-8")).alias("redacted_md5"),
+    )
+
+
+PACK_TOKENS = 512
+
+
+@op("ext_pack_sequences", oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), ofs AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS stream_offset
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, stream_offset,
+           CAST(FLOOR(stream_offset / {PACK_TOKENS}.0) AS BIGINT) AS pack_id,
+           FLOOR(stream_offset / {PACK_TOKENS}.0)
+             <> FLOOR((stream_offset + n_tokens - 1) / {PACK_TOKENS}.0)
+               AS crosses_boundary
+    FROM ofs
+""")
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document its offset in the
+    concatenated per-source token stream and the {PACK_TOKENS}-token
+    context window (pack) its first token lands in — the concat-and-split
+    batching step between tokenization and training.
+
+    Packing is per source, not global: a single global running sum would
+    serialize through one partition, and training pipelines shard the
+    stream anyway (per source/dump), so the window partitions by ``source``
+    and orders by ``doc_id`` — each source packs independently and in
+    parallel, one shuffle on the partition key. ``crosses_boundary`` marks
+    documents split across two windows (the ones that need attention-mask
+    resets downstream).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(C("text")), r"\s+")).cast("bigint")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    d = d.withColumn("stream_offset", offset)
+    pack = F.floor(C("stream_offset") / float(PACK_TOKENS))
+    end_pack = F.floor((C("stream_offset") + C("n_tokens") - 1)
+                       / float(PACK_TOKENS))
+    return d.select(
+        "doc_id", "source", "n_tokens", "stream_offset",
+        pack.cast("bigint").alias("pack_id"),
+        (pack != end_pack).alias("crosses_boundary"),
     )
 
 

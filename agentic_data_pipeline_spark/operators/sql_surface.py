@@ -399,6 +399,76 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@op("q_join_full", oracle="""
+    WITH y96 AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS spend_1996
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+    ), y99 AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS spend_1999
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate <  TIMESTAMP '2000-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(y96.o_custkey, y99.o_custkey) AS custkey,
+           y96.spend_1996,
+           y99.spend_1999
+    FROM y96 FULL OUTER JOIN y99 ON y96.o_custkey = y99.o_custkey
+""")
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: year-over-year spend comparison where either side
+    may be absent (customer active in 1996 only, 1999 only, or both) —
+    the remaining outer-join class after left/semi/anti.
+
+    Plan shape at scale: both inputs are aggregate-then-join (customer-
+    cardinality, far below the fact), and a full outer join cannot
+    broadcast either side — it is the one join type that legitimately
+    requires both sides shuffled on the key; both legs partition on
+    o_custkey so the exchange is reused from the aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_spend(y: int, alias: str) -> DataFrame:
+        return (orders
+                .filter((C("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+                        & (C("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz")))
+                .groupBy("o_custkey")
+                .agg(dec_sum("o_totalprice").alias(alias)))
+
+    a = year_spend(1996, "spend_1996").withColumnRenamed("o_custkey", "k96")
+    b = year_spend(1999, "spend_1999").withColumnRenamed("o_custkey", "k99")
+    return (a.join(b, C("k96") == C("k99"), "full_outer")
+            .select(F.coalesce(C("k96"), C("k99")).alias("custkey"),
+                    "spend_1996", "spend_1999"))
+
+
+@op("q_join_cross", oracle="""
+    SELECT r_name, o_orderpriority
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+""")
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join: the dimension-grid scaffold (every region × every order
+    priority) used to densify sparse aggregates before a left join.
+
+    Only sane when at least one side is tiny — here both are (5 × 5); the
+    small side broadcasts, so the product is a BroadcastNestedLoopJoin,
+    never a shuffled cartesian. At 100 TB this pattern is only ever used
+    dim × dim (gap-fill scaffolds), which stays broadcast-sized.
+    """
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    prios = (load_table(spark, sf_dir, "orders")
+             .select("o_orderpriority").distinct())
+    return region.crossJoin(F.broadcast(prios))
+
+
 @op("q_pivot", oracle="""
     SELECT l_returnflag,
            (CAST(SUM(CASE WHEN l_linestatus = 'F'

@@ -130,6 +130,27 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_decontaminate_eval_side_broadcasts(spark):
+    p = plan_of(spark, "ext_decontaminate")
+    assert "BroadcastHashJoin" in p                     # eval shingles tiny
+    assert "EvalPython" not in p                        # pure Catalyst
+
+
+def test_pack_sequences_single_shuffle_no_python(spark):
+    p = plan_of(spark, "ext_pack_sequences")
+    assert "EvalPython" not in p
+    # exactly one shuffle (by source); "Exchange (" matches the plan-tree
+    # node header once per physical exchange.
+    assert p.count("Exchange (") == 1
+
+
+def test_full_outer_reuses_agg_partitioning(spark):
+    # both legs aggregate on o_custkey then join on it: the join must not
+    # introduce extra exchanges beyond the two aggregation shuffles.
+    p = plan_of(spark, "q_join_full")
+    assert "SortMergeJoin FullOuter" in p or "FullOuter" in p
+
+
 def test_tfidf_df_side_broadcasts(spark):
     p = plan_of(spark, "ext_tfidf")
     assert "BroadcastHashJoin" in p                     # vocabulary join
