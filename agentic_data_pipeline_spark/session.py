@@ -95,4 +95,15 @@ def get_spark(app_name: str = "agentic-data-pipeline-spark",
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+    spark = tune(builder.getOrCreate())
+    # Deployment overrides: "k=v;k=v" (a cluster deploy sets real confs via
+    # spark-submit; this is the local/bench equivalent). Applied after
+    # tune() so an override wins over the engine defaults.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
