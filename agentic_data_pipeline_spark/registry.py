@@ -70,6 +70,6 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         analytics, approx, dedup, flagship, multimodal, prep, reference_ops, rules,
         sampling, sessionize,
-        similarity, sql_surface, streaming_ops, temporal, text,
+        similarity, sql_surface, streaming_ops, temporal, text, tpch_full,
     )
     _loaded = True

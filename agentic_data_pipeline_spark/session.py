@@ -93,6 +93,12 @@ def get_spark(app_name: str = "agentic-data-pipeline-spark",
         # never are, which is exactly the asymmetry broadcast joins want).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # Delay scheduling buys nothing when every task slot is in-process
+        # (all locality levels collapse to PROCESS_LOCAL); measured ~8% off
+        # the sf0.1 headline set. On a real cluster the default 3s wait is
+        # right, so this is local-only.
+        builder = builder.config("spark.locality.wait", "0s")
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = tune(builder.getOrCreate())
