@@ -155,3 +155,53 @@ def test_tfidf_df_side_broadcasts(spark):
     p = plan_of(spark, "ext_tfidf")
     assert "BroadcastHashJoin" in p                     # vocabulary join
     assert "EvalPython" not in p                        # pure Catalyst
+
+
+def test_q2_correlated_min_decorrelates_to_broadcast(spark):
+    p = plan_of(spark, "q2_min_cost_supplier")
+    # the per-part MIN and the part dim both come back as broadcast builds;
+    # no per-row subquery, no fact-fact sort-merge
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_q6_pure_scan_pushdown(spark):
+    p = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in p and "GreaterThanOrEqual(l_shipdate" in p
+    assert "Join" not in p                            # scan→filter→agg only
+    schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in schema                 # column pruning
+
+
+def test_q8_single_fact_shuffle(spark):
+    p = plan_of(spark, "q8_market_share")
+    # 7 logical joins: orderkey join may shuffle, every dim broadcasts
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+
+
+def test_q13_outer_join_preserves_customers(spark):
+    p = plan_of(spark, "q13_order_distribution")
+    assert "LeftOuter" in p
+    assert p.count("HashAggregate") >= 4              # two agg levels, partial+final
+
+
+def test_q15_argmax_never_collects(spark):
+    p = plan_of(spark, "q15_top_supplier")
+    # the MAX threshold arrives as a broadcast (nested-loop for the 1-row
+    # cross join), not a driver collect re-injected as a literal
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q16_blocklist_is_broadcast_anti(spark):
+    p = plan_of(spark, "q16_part_supplier_counts")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_q21_one_orderkey_partitioning_reused(spark):
+    p = plan_of(spark, "q21_waiting_suppliers")
+    assert "EvalPython" not in p
+    # decorrelation: per-order aggregate joins back on l_orderkey; the
+    # same-key shuffle must appear at most twice (lo join + agg reuse),
+    # never once per correlated probe
+    assert p.count("Exchange hashpartitioning(l_orderkey") <= 2
