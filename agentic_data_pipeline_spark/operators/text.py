@@ -294,3 +294,84 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
         (dup_frac > 0.2).alias("is_repetitive"),
     )
+
+
+@op("ext_inverted_index", oracle=r"""
+    WITH w AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term
+        FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           list_sort(list(doc_id))            AS postings
+    FROM w
+    WHERE term <> ''
+    GROUP BY term
+""")
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: term → sorted posting list of doc_ids + document
+    frequency — the retrieval-side sibling of ext_tfidf (same normalized
+    tokenization) and the substrate for boolean/BM25 corpus search.
+
+    Shape at scale: explode is a narrow flatMap; the (term, doc) distinct
+    and the postings agg key on the term — ONE logical shuffle partitioning
+    reused across both steps. Posting lists are sorted so the output is
+    deterministic and range-mergeable; at 100 TB hot terms make postings
+    large, which is the signal to cap or bucket them (stopword terms carry
+    no retrieval value precisely when their lists blow up).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    w = (docs.select("doc_id",
+                     F.explode(F.split(norm, r"\s+")).alias("term"))
+         .filter(C("term") != "")
+         .distinct())
+    return (w.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sort_array(F.collect_list("doc_id")).alias("postings")))
+
+
+@op("ext_ngram_freq", oracle=r"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+        FROM documents
+    ), grams AS (
+        SELECT unnest(list_transform(
+                   range(1, GREATEST(len(w) - 1, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM grams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 50
+""")
+def ext_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (top-50 bigrams): the classic LM-prep
+    statistic behind vocabulary building, contamination screens, and
+    Gopher-style repetition thresholds.
+
+    Shape at scale: bigrams are materialized per row with JVM higher-order
+    functions (sequence + transform over the token array — no Python, no
+    self-join on positions), so the only shuffle is the count aggregation,
+    map-side combined; the top-50 is TakeOrderedAndProject. The full
+    (unlimited) table is what a vocab build would write back to parquet.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    ws = F.split(norm, r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - 2, F.lit(0)))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)))
+    ).otherwise(F.array())
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(C("freq").desc(), "bigram")
+            .limit(50))
