@@ -130,3 +130,28 @@ def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_sessionize_to_table(
         spark, _as_stream_dir(table_path(sf_dir, "events")), table)
     return spark.table(table)
+
+
+@op("stream_stream_join", oracle="""
+    SELECT e1.event_id AS err_id,
+           e2.event_id AS click_id,
+           e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+     AND e2.ts <= e1.ts
+    WHERE e1.event_type = 'error'
+      AND e2.event_type = 'click'
+""")
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (errors × same-user clicks within the
+    preceding hour), both sides watermarked so join state evicts by event
+    time. availableNow single-pass equals the batch interval join, so the
+    hardest stateful join in the surface gets a hash-parity check too."""
+    from ..streaming.windows import run_to_memory, stream_interval_join
+
+    table = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    sdf = stream_interval_join(
+        spark, _as_stream_dir(table_path(sf_dir, "events")))
+    run_to_memory(sdf, table, output_mode="append")
+    return spark.table(table)

@@ -116,6 +116,46 @@ def stream_static_enrich(spark: SparkSession, input_dir: str,
     )
 
 
+def stream_interval_join(spark: SparkSession, input_dir: str,
+                         lookback: str = "INTERVAL 1 HOUR",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each 'error' event paired with the same
+    user's 'click' events in the preceding hour.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions (click ∈ [error − 1h, error]), which is what lets
+    the state store evict: a buffered click older than
+    (watermark horizon + lookback) can never match a future error, so
+    state stays proportional to the time bound, not the stream length —
+    the one non-negotiable requirement for a stream-stream join at
+    100 TB/day. A single availableNow pass buffers-then-joins everything,
+    so the result equals the batch interval join and shares its oracle.
+    """
+    tune(spark)
+
+    def side(evt: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+            .filter(F.col("event_type") == evt)
+            .select(F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.timestamp_micros(F.expr("ts div 1000"))
+                    .alias(f"{prefix}_ts"))
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    errors, clicks = side("error", "err"), side("click", "click")
+    return (
+        errors.join(
+            clicks,
+            (F.col("err_user") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("err_ts") - F.expr(lookback))
+            & (F.col("click_ts") <= F.col("err_ts")),
+            "inner")
+        .select("err_id", "click_id", F.col("err_user").alias("user_id"))
+    )
+
+
 def run_to_memory(sdf: DataFrame, table: str,
                   output_mode: str = "complete") -> None:
     """Drive any streaming DataFrame with availableNow into an in-memory
