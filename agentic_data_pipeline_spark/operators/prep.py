@@ -159,3 +159,93 @@ def ext_docs_to_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(C("chunk"), " ")).alias("n_tokens"),
         F.md5(F.encode(C("chunk"), "utf-8")).alias("chunk_md5"),
     )
+
+
+from .text import QUALITY_SQL  # noqa: E402  (shared quality definition)
+
+_CURATION_ORACLE = r"""
+    WITH q AS (
+        SELECT doc_id, lang, source, text
+        FROM documents
+        WHERE doc_id % 50 <> 0            -- eval holdout (as ext_decontaminate)
+          AND {Q} >= 0.5
+    ), surv AS (
+        SELECT doc_id, lang, source, text
+        FROM q
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1
+    ), ev_sh AS (
+        SELECT DISTINCT
+               unnest(list_distinct(list_transform(
+                   range(1, GREATEST(len(w) - 7, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS s
+        FROM (SELECT string_split_regex(trim(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+              FROM documents WHERE doc_id % 50 = 0)
+    ), contam AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, GREATEST(len(w) - 7, 1) + 1),
+                         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS s
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(regexp_replace(lower(text),
+                               '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+                    FROM surv)) c
+        JOIN ev_sh USING (s)
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_tokens
+    FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    GROUP BY lang, source
+""".replace("{Q}", QUALITY_SQL)
+
+
+@op("ext_curation_pipeline", oracle=_CURATION_ORACLE)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline in one plan: quality filter → exact
+    dedup (canonical survivor per content fingerprint) → benchmark
+    decontamination (drop docs sharing an 8-word shingle with the eval
+    holdout) → per-(lang, source) corpus report. Each stage is an
+    already-verified operator family; this op verifies their COMPOSITION
+    end-to-end against one oracle query.
+
+    Shape at scale (the real point): the stages fuse into three shuffles
+    total — fingerprint dedup (keyed on the md5), the contamination
+    semi-probe (eval shingles broadcast, so the corpus side never
+    shuffles), and the final dim-sized group-by. A naive orchestration
+    that materializes each stage would pay a full write+read between every
+    pair; expressing the whole pipeline as one DataFrame lets Catalyst
+    pipeline the maps into the dedup shuffle's map side.
+
+    Counts/sums are integers (exact); the quality threshold compares the
+    identical double expression both engines compute (text.QUALITY_SQL).
+    """
+    from .dedup import word_shingles
+    from .text import quality_expr, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (docs.filter((C("doc_id") % 50 != 0)
+                     & (quality_expr(C("text")) >= 0.5))
+         .select("doc_id", "lang", "source", "text"))
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
+                        "utf-8"))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    surv = (q.withColumn("rn", F.row_number().over(w))
+            .filter(C("rn") == 1).drop("rn"))
+    ev_sh = (docs.filter(C("doc_id") % 50 == 0)
+             .select(F.explode(word_shingles(C("text"), 8)).alias("s"))
+             .distinct())
+    corpus_sh = surv.select("doc_id",
+                            F.explode(word_shingles(C("text"), 8)).alias("s"))
+    contam = (corpus_sh.join(F.broadcast(ev_sh), "s")
+              .select("doc_id").distinct())
+    clean = surv.join(contam, "doc_id", "left_anti")
+    return (clean.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(tokens(C("text"))).cast("bigint"))
+                 .alias("total_tokens")))

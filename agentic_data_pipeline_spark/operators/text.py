@@ -140,16 +140,36 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("ext_quality_score", oracle=r"""
-    SELECT doc_id,
-           ROUND(  0.4 * LEAST(len(string_split_regex(trim(text), '\s+'))
+# The UNROUNDED quality expression, shared by ext_quality_score,
+# ext_group_topk, and ext_curation_pipeline — one definition per engine so
+# every consumer filters/ranks on the identical double.
+QUALITY_SQL = r"""(  0.4 * LEAST(len(string_split_regex(trim(text), '\s+'))
                                / 100.0, 1.0)
                  + 0.3 * (1.0 - LEAST(CAST(len(regexp_extract_all(text,
                               '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text), 1.0))
                  + 0.3 * LEAST(CAST(LENGTH(text) AS DOUBLE)
                                / len(string_split_regex(trim(text), '\s+'))
-                               / 8.0, 1.0)
-           , 6) AS quality
+                               / 8.0, 1.0))"""
+
+
+def quality_expr(text_col: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: length component +
+    low-punctuation component + word-shape component. Twin of QUALITY_SQL
+    (identical arithmetic tree → bit-stable across engines)."""
+    n_chars = F.length(text_col).cast("double")
+    n_words = F.size(tokens(text_col))
+    n_punct = F.size(
+        F.regexp_extract_all(text_col, F.lit(_PUNCT_RE), F.lit(0))
+    ).cast("double")
+    return (
+        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / n_chars, F.lit(1.0)))
+        + F.lit(0.3) * F.least(n_chars / n_words / F.lit(8.0), F.lit(1.0))
+    )
+
+
+@op("ext_quality_score", oracle=f"""
+    SELECT doc_id, ROUND({QUALITY_SQL}, 6) AS quality
     FROM documents
 """)
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,15 +177,8 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-punctuation component + word-shape component (identical arithmetic
     expression on both engines → bit-stable before the ROUND)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text").cast("double")
-    n_words = F.size(tokens(C("text")))
-    n_punct = F.size(F.regexp_extract_all(C("text"), F.lit(_PUNCT_RE), F.lit(0))).cast("double")
-    quality = (
-        F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / n_chars, F.lit(1.0)))
-        + F.lit(0.3) * F.least(n_chars / n_words / F.lit(8.0), F.lit(1.0))
-    )
-    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+    return docs.select("doc_id",
+                       F.round(quality_expr(C("text")), 6).alias("quality"))
 
 
 @op("ext_fingerprint", oracle=r"""
@@ -375,3 +388,31 @@ def ext_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(C("freq").desc(), "bigram")
             .limit(50))
+
+
+@op("ext_group_topk", oracle=f"""
+    SELECT lang, source, doc_id, ROUND({QUALITY_SQL}, 6) AS quality
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source
+                               ORDER BY {QUALITY_SQL} DESC, doc_id) <= 3
+""")
+def ext_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k selection: the 3 highest-quality documents per
+    (lang, source) — the curation primitive behind per-domain quality
+    sampling ("keep the best N per bucket").
+
+    Shape at scale: ONE shuffle on the group key, then a per-partition
+    row_number over the sorted group — no global sort, no self-join. The
+    rank runs on the raw double and only the OUTPUT is rounded, so ties
+    resolve identically in both engines (doc_id tiebreaker pins the rest).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_expr(C("text"))
+    w = Window.partitionBy("lang", "source").orderBy(q.desc(), "doc_id")
+    return (
+        docs.select("lang", "source", "doc_id",
+                    F.round(q, 6).alias("quality"),
+                    F.row_number().over(w).alias("rn"))
+        .filter(C("rn") <= 3)
+        .drop("rn")
+    )
