@@ -38,7 +38,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The headline set: one per major plan shape (scan-agg, join, window, topk,
-# time bucketing, dedup, text map, vector search).
+# time bucketing, dedup, text map, vector search, deep decorrelated join,
+# composed curation pipeline).
 HEADLINE = [
     "q1_pricing_summary",
     "q_groupby",
@@ -53,6 +54,8 @@ HEADLINE = [
     "ext_sessionize",
     "ext_asof_join",
     "ext_docs_to_chunks",
+    "q21_waiting_suppliers",
+    "ext_curation_pipeline",
 ]
 
 WARMUP_PASSES = 3

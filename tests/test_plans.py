@@ -205,3 +205,19 @@ def test_q21_one_orderkey_partitioning_reused(spark):
     # same-key shuffle must appear at most twice (lo join + agg reuse),
     # never once per correlated probe
     assert p.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_group_topk_single_shuffle_rank(spark):
+    p = plan_of(spark, "ext_group_topk")
+    assert "EvalPython" not in p
+    # at most the one group-key shuffle (at smoke scale the single-partition
+    # scan already satisfies the window's required distribution → zero)
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "Sort" in p and "TakeOrderedAndProject" not in p  # per-group rank
+
+
+def test_curation_pipeline_eval_side_broadcasts(spark):
+    p = plan_of(spark, "ext_curation_pipeline")
+    assert "EvalPython" not in p
+    # contamination probe: eval shingles broadcast, corpus side stays put
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
