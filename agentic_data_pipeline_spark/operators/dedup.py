@@ -50,6 +50,37 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingles_exploded(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3) -> DataFrame:
+    """Distinct n-word shingles as exploded ``(id, s)`` rows.
+
+    posexplode the token array, then build each shingle from ``lead()``
+    window calls over the in-document position — every expression stays in
+    whole-stage codegen. The HOF array form (word_shingles) measured 5×
+    slower at sf0.1: Catalyst evaluates ``transform`` lambdas interpreted,
+    per element, and the per-shingle ``slice`` allocates. Use THIS form
+    whenever the consumer explodes anyway (decontamination, curation);
+    the array form remains for per-doc signatures (minhash/jaccard).
+
+    Docs with < n tokens yield their single short shingle (pos 0), same as
+    the array form; docs with ZERO alnum tokens yield no rows (the array
+    form yields one empty-string shingle — callers that must match that
+    corner on empty docs should pre-filter them explicitly).
+    """
+    from pyspark.sql import Window
+
+    toks = normalized_tokens(C(text_col))
+    ex = df.select(C(id_col).alias("id"),
+                   F.posexplode(toks).alias("pos", "w"))
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = F.concat_ws(" ", C("w"),
+                     *[F.lead("w", k).over(w) for k in range(1, n)])
+    full = F.lead("w", n - 1).over(w).isNotNull()
+    return (ex.select("id", F.when(full | (C("pos") == 0), sh).alias("s"))
+            .filter(C("s").isNotNull())
+            .distinct())
+
+
 def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
     """k independent minhashes: min over shingles of xxhash64(shingle, seed).
 
@@ -275,8 +306,8 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, shingle) pairs, which contamination keeps rare by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id",
-                     F.explode(word_shingles(C("text"), 8)).alias("s"))
+    sh = (shingles_exploded(docs, "doc_id", "text", 8)
+          .withColumnRenamed("id", "doc_id"))
     corpus = sh.filter(C("doc_id") % 50 != 0)
     ev = (sh.filter(C("doc_id") % 50 == 0)
           .select(C("doc_id").alias("eval_id"), "s"))

@@ -169,12 +169,6 @@ _CURATION_ORACLE = r"""
         FROM documents
         WHERE doc_id % 50 <> 0            -- eval holdout (as ext_decontaminate)
           AND {Q} >= 0.5
-    ), surv AS (
-        SELECT doc_id, lang, source, text
-        FROM q
-        QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
-            ORDER BY doc_id) = 1
     ), ev_sh AS (
         SELECT DISTINCT
                unnest(list_distinct(list_transform(
@@ -192,60 +186,74 @@ _CURATION_ORACLE = r"""
               FROM (SELECT doc_id,
                            string_split_regex(trim(regexp_replace(lower(text),
                                '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
-                    FROM surv)) c
+                    FROM q)) c
         JOIN ev_sh USING (s)
+    ), surv AS (
+        SELECT doc_id, lang, source, text
+        FROM q
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1
     )
     SELECT lang, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
                AS total_tokens
     FROM surv
-    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
     GROUP BY lang, source
 """.replace("{Q}", QUALITY_SQL)
 
 
 @op("ext_curation_pipeline", oracle=_CURATION_ORACLE)
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed curation pipeline in one plan: quality filter → exact
-    dedup (canonical survivor per content fingerprint) → benchmark
-    decontamination (drop docs sharing an 8-word shingle with the eval
-    holdout) → per-(lang, source) corpus report. Each stage is an
+    """The composed curation pipeline in one plan: quality filter →
+    benchmark decontamination (drop docs sharing an 8-word shingle with
+    the eval holdout) → exact dedup (canonical survivor per content
+    fingerprint) → per-(lang, source) corpus report. Each stage is an
     already-verified operator family; this op verifies their COMPOSITION
     end-to-end against one oracle query.
 
-    Shape at scale (the real point): the stages fuse into three shuffles
-    total — fingerprint dedup (keyed on the md5), the contamination
-    semi-probe (eval shingles broadcast, so the corpus side never
-    shuffles), and the final dim-sized group-by. A naive orchestration
-    that materializes each stage would pay a full write+read between every
-    pair; expressing the whole pipeline as one DataFrame lets Catalyst
-    pipeline the maps into the dedup shuffle's map side.
+    Shape at scale (the real point): shingling — by far the dominant
+    per-row cost — runs once per side in the codegen-resident exploded
+    form (dedup.shingles_exploded; the per-doc HOF array form measured 5×
+    slower, and an early draft that fed one shingled subtree to two
+    consumers paid Spark's subtree recomputation for a 13× total
+    regression). The contamination id-set comes from one broadcast
+    semi-probe over the exploded shingles (corpus side never shuffles for
+    it); the light per-doc projection (quality/fp/token count) anti-joins
+    that id set, the fingerprint-dedup window runs over the survivors, and
+    the final group-by is dim-sized. Decontaminate-before-dedup keeps the
+    dataflow linear; at 100 TB a real deployment would alternatively
+    checkpoint the survivor set to parquet between stages.
 
     Counts/sums are integers (exact); the quality threshold compares the
     identical double expression both engines compute (text.QUALITY_SQL).
     """
-    from .dedup import word_shingles
+    from .dedup import shingles_exploded
     from .text import quality_expr, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    q = (docs.filter((C("doc_id") % 50 != 0)
-                     & (quality_expr(C("text")) >= 0.5))
-         .select("doc_id", "lang", "source", "text"))
     fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
                         "utf-8"))
-    w = Window.partitionBy(fp).orderBy("doc_id")
-    surv = (q.withColumn("rn", F.row_number().over(w))
-            .filter(C("rn") == 1).drop("rn"))
-    ev_sh = (docs.filter(C("doc_id") % 50 == 0)
-             .select(F.explode(word_shingles(C("text"), 8)).alias("s"))
-             .distinct())
-    corpus_sh = surv.select("doc_id",
-                            F.explode(word_shingles(C("text"), 8)).alias("s"))
-    contam = (corpus_sh.join(F.broadcast(ev_sh), "s")
-              .select("doc_id").distinct())
-    clean = surv.join(contam, "doc_id", "left_anti")
-    return (clean.groupBy("lang", "source")
+    # Light per-doc projection: text is reduced to fp + token count here.
+    q = (docs.filter((C("doc_id") % 50 != 0)
+                     & (quality_expr(C("text")) >= 0.5))
+         .select("doc_id", "lang", "source", fp.alias("fp"),
+                 F.size(tokens(C("text"))).cast("bigint").alias("n_tokens")))
+    ev_sh = shingles_exploded(
+        docs.filter(C("doc_id") % 50 == 0), "doc_id", "text", 8)
+    # Contamination over ALL non-eval docs (a superset of q — same final
+    # result after the anti join, and it avoids re-running the quality
+    # regexes on the shingle branch).
+    corpus_sh = shingles_exploded(
+        docs.filter(C("doc_id") % 50 != 0), "doc_id", "text", 8)
+    contam = (corpus_sh.join(F.broadcast(ev_sh.select("s")), "s")
+              .select(C("id").alias("doc_id")).distinct())
+    clean = q.join(contam, "doc_id", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (clean.withColumn("rn", F.row_number().over(w))
+            .filter(C("rn") == 1))
+    return (surv.groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.size(tokens(C("text"))).cast("bigint"))
-                 .alias("total_tokens")))
+                 F.sum("n_tokens").alias("total_tokens")))

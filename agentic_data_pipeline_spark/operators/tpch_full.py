@@ -31,7 +31,7 @@ and equality comparisons on raw doubles are safe as-is (no summation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -549,33 +549,39 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     after order date, the fixture's Q4/Q12 stand-in — module docstring).
 
     Plan: instead of two correlated probes per line, the correlation
-    decorrelates into ONE per-order aggregate — distinct suppliers and
-    distinct LATE suppliers — joined back to the late lines: a supplier
-    qualifies on an order iff the order has >1 supplier and exactly 1 late
-    supplier (itself, necessarily). The oracle keeps the literal
-    EXISTS/NOT-EXISTS spelling, so parity also proves the decorrelation
-    equivalent. Both aggregations and the join key on l_orderkey — one
-    shuffle partitioning reused end-to-end; supplier broadcasts at the end.
+    decorrelates into ONE linear pass: collapse lines to (order, supplier,
+    any_late) — the aggregation rides the orderkey partitioning the join
+    already produced, so no new exchange — then per-order supplier counts
+    come from window functions over the SAME partitioning (again no
+    exchange). A supplier qualifies on an order iff the order has >1
+    supplier and exactly 1 late supplier (itself, necessarily). The oracle
+    keeps the literal EXISTS/NOT-EXISTS spelling, so parity also proves
+    the decorrelation equivalent. Net: the orderkey join's shuffle is the
+    ONLY fact-sized exchange in the whole query (an earlier version fed
+    the joined lines to two consumers — per-order aggregate + late-line
+    probe — and Spark's subtree recomputation made it 3.4× slower than
+    this form at sf0.1); supplier broadcasts at the end.
     """
     orders = (load_table(spark, sf_dir, "orders")
               .filter(C("o_orderstatus") == "F")
               .select("o_orderkey", "o_orderdate"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
-    lo = (li.join(orders, C("o_orderkey") == C("l_orderkey"))
-          .select("l_orderkey", "l_suppkey",
-                  (C("l_shipdate") > C("o_orderdate")
-                   + F.expr("INTERVAL 60 DAYS")).alias("late")))
-    per_order = (lo.groupBy(C("l_orderkey").alias("agg_orderkey"))
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(F.when(C("late"), C("l_suppkey")))
-                      .alias("n_late_supp")))
+    late = (C("l_shipdate") > C("o_orderdate")
+            + F.expr("INTERVAL 60 DAYS")).cast("int")
+    per_os = (li.join(orders, C("o_orderkey") == C("l_orderkey"))
+              .groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(late).alias("s_late")))
+    w = Window.partitionBy("l_orderkey")
+    flags = per_os.select(
+        "l_orderkey", "l_suppkey", "s_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("s_late").over(w).alias("n_late_supp"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(C("late"))
-        .join(per_order, C("l_orderkey") == C("agg_orderkey"))
-        .filter((C("n_supp") > 1) & (C("n_late_supp") == 1))
+        flags.filter((C("s_late") == 1)
+                     & (C("n_supp") > 1) & (C("n_late_supp") == 1))
         .join(F.broadcast(supp), C("s_suppkey") == C("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -219,5 +219,10 @@ def test_group_topk_single_shuffle_rank(spark):
 def test_curation_pipeline_eval_side_broadcasts(spark):
     p = plan_of(spark, "ext_curation_pipeline")
     assert "EvalPython" not in p
-    # contamination probe: eval shingles broadcast, corpus side stays put
+    # contamination probe: eval shingles broadcast into the corpus shingle
+    # stream; the contaminated id-set anti-joins the light per-doc side
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # exactly three parquet scans — per-doc projection, eval shingles,
+    # corpus shingles — never one per pipeline stage (formatted explain
+    # names each scan node twice: tree + details)
+    assert p.count("Scan parquet") == 6
