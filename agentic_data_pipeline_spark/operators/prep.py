@@ -257,3 +257,63 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (surv.groupBy("lang", "source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@op("ext_dedup_passage", oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+               array_to_string(list_slice(t, g.i * {CHUNK_SIZE} + 1,
+                               g.i * {CHUNK_SIZE} + {CHUNK_SIZE}), ' ') AS chunk
+        FROM toks, UNNEST(range(CAST(CEIL(len(t) / {CHUNK_SIZE}.0) AS BIGINT)))
+             AS g(i)
+    ), kept AS (
+        SELECT doc_id, chunk_id, chunk
+        FROM chunks
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk
+                                   ORDER BY doc_id, chunk_id) = 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY chunk_id)) AS kept_md5
+    FROM kept
+    GROUP BY doc_id
+""")
+def ext_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb trick, at chunk
+    granularity): explode every document into its {CHUNK_SIZE}-token
+    passages, keep only the globally-first occurrence of each distinct
+    passage (ordered by doc_id, then position), and reassemble each
+    surviving document from its retained passages in original order.
+    Documents whose every passage already appeared elsewhere vanish —
+    document-level dedup falls out as the degenerate case.
+
+    Shape at scale: one shuffle on the passage text (the dedup window —
+    at 100 TB hash the passage first so the shuffle key is 16 bytes, not
+    the text; md5 on the exploded form here), one shuffle back on doc_id
+    for reassembly. Both are plain hash partitions over codegen'd rows;
+    nothing driver-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, "doc_id", "text")
+
+
+def passage_dedup(df: DataFrame, id_col: str, text_col: str,
+                  chunk_size: int = CHUNK_SIZE) -> DataFrame:
+    """The reusable core of ext_dedup_passage (see its docstring)."""
+    toks = F.split(F.trim(C(text_col)), r"\s+")
+    exploded = df.select(
+        id_col, F.posexplode(chunk_tokens(toks, chunk_size))
+        .alias("chunk_id", "chunk"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_id")
+    kept = (exploded.withColumn("rn", F.row_number().over(w))
+            .filter(C("rn") == 1))
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_id", "chunk")))
+    reassembled = F.concat_ws(
+        " ", F.transform(ordered, lambda s: s["chunk"]))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.md5(F.encode(reassembled, "utf-8")).alias("kept_md5"),
+    )

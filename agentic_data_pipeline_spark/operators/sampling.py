@@ -10,7 +10,7 @@ the DuckDB oracle checks it exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -127,3 +127,79 @@ def ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --- Domain-mixture resampling -----------------------------------------
+#
+# Training mixtures are specified as target weights per source/domain
+# (e.g. "books 40%, web 40%, code 20%"); the pipeline step turns those
+# weights into per-source keep-rates against whatever the crawl actually
+# contains. All arithmetic is integer basis points so both engines land on
+# identical thresholds, and the row filter is the same md5 bucket as every
+# other sampling op — rerun-stable under retries and re-partitioning.
+
+MIX_BUCKETS = 10_000
+
+# Tiered target mixture over the 20 fixture sources: src0-3 are "premium"
+# (1000 bp each), src4-11 "standard" (500 bp), src12-19 "web" (250 bp);
+# 4*1000 + 8*500 + 8*250 = 10000 bp total.
+
+
+def _target_bp(src_idx: Column) -> Column:
+    return (F.when(src_idx < 4, 1000)
+            .when(src_idx < 12, 500)
+            .otherwise(250)).cast("bigint")
+
+
+@op("ext_domain_mix", oracle=f"""
+    WITH cnt AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(CASE WHEN CAST(substring(source, 4) AS INT) < 4 THEN 1000
+                         WHEN CAST(substring(source, 4) AS INT) < 12 THEN 500
+                         ELSE 250 END AS BIGINT) AS target_bp
+        FROM documents
+        GROUP BY source
+    ), thr AS (
+        SELECT source, n_total, target_bp,
+               CAST(FLOOR(
+                   FLOOR(MIN(CAST(FLOOR(n_total * {MIX_BUCKETS}.0 / target_bp)
+                                  AS BIGINT)) OVER ()
+                         * target_bp / {MIX_BUCKETS}.0)
+                   * {MIX_BUCKETS}.0 / n_total) AS BIGINT) AS thresh_bp
+        FROM cnt
+    )
+    SELECT d.source, t.target_bp, t.n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr t USING (source)
+    WHERE {{bucket}} < t.thresh_bp
+    GROUP BY d.source, t.target_bp, t.n_total
+""".replace("{bucket}", _duck_bucket("d.doc_id", MIX_BUCKETS)))
+def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: given target weights per source (basis
+    points), down-sample each source so the surviving corpus matches the
+    target mixture at the largest total the inventory supports
+    (T = min over sources of count/weight), via the stable md5 bucket.
+
+    Shape at scale: per-source counts are a dim-sized aggregate; the
+    threshold table (20 rows) broadcast-joins back onto the corpus, so the
+    big side is one map-only filter pass — no corpus shuffle beyond the
+    final report aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_idx = F.substring(C("source"), 4, 8).cast("int")
+    cnt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+    ).withColumn("target_bp", _target_bp(src_idx))
+    capacity = F.floor(C("n_total") * float(MIX_BUCKETS) / C("target_bp")) \
+        .cast("bigint")
+    w_all = Window.partitionBy(F.lit(1))
+    need = F.floor(F.min(capacity).over(w_all) * C("target_bp")
+                   / float(MIX_BUCKETS))
+    thr = cnt.withColumn(
+        "thresh_bp",
+        F.floor(need * float(MIX_BUCKETS) / C("n_total")).cast("bigint"))
+    kept = (docs.join(F.broadcast(thr), "source")
+            .filter(hash_bucket(C("doc_id"), MIX_BUCKETS) < C("thresh_bp")))
+    return kept.groupBy("source", "target_bp", "n_total").agg(
+        F.count(F.lit(1)).alias("n_kept"))

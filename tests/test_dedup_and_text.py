@@ -139,3 +139,34 @@ def test_connected_components_transitive(spark):
     got = {r["id"]: r["component_id"]
            for r in connected_components(vertices, edges).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_passage_dedup_semantics(spark):
+    from agentic_data_pipeline_spark.operators.prep import passage_dedup
+
+    w16 = " ".join(f"w{i}" for i in range(16))          # one full chunk
+    other = " ".join(f"x{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, w16 + " " + other),   # two distinct chunks
+         (2, w16),                 # exact dup of doc 1's first chunk → vanishes
+         (3, other + " tail words")],  # chunk 0 dups doc 1; ragged tail survives
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_kept"]
+           for r in passage_dedup(df, "doc_id", "text", 16).collect()}
+    # doc 1 keeps both chunks (first occurrence wins by doc_id order);
+    # doc 2 is fully shadowed; doc 3 keeps only its ragged tail chunk.
+    assert got == {1: 2, 3: 1}
+
+
+def test_domain_mix_thresholds(spark):
+    """Keep-rate ordering must follow the target weights: premium sources
+    (src0-3) retain at least the standard tier's rate, which retains at
+    least the web tier's (counts are uniform per source in the fixture)."""
+    from agentic_data_pipeline_spark.registry import all_queries
+    rows = all_queries()["ext_domain_mix"](spark, "/root/testdata/sf0.01").collect()
+    rate = {}
+    for r in rows:
+        rate.setdefault(r["target_bp"], []).append(r["n_kept"] / r["n_total"])
+    avg = {bp: sum(v) / len(v) for bp, v in rate.items()}
+    assert avg[1000] >= avg[500] >= avg[250]
+    assert avg[1000] == 1.0   # the binding tier keeps everything
