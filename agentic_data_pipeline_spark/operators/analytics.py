@@ -564,3 +564,47 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(C("total_qty").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+@op("ext_salted_join", oracle="""
+    WITH dim(event_type, weight) AS (
+        VALUES ('click', 1), ('view', 1), ('purchase', 5),
+               ('signup', 3), ('error', 2)
+    )
+    SELECT e.event_type, d.weight,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT) * d.weight)
+                 AS DOUBLE) / 100.0) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type, d.weight
+""")
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit salting (functions.skew.salted_join):
+    events has only 5 distinct event_type values, so an unhinted shuffle
+    join would funnel ~20% of a 100 TB fact through each of 5 reducers.
+    The helper salts the fact side into 16 deterministic buckets
+    (xxhash64 of a high-entropy column — no rand(), so speculative tasks
+    and retries agree) and replicates the dim once per bucket, turning
+    each hot key into 16 evenly-loaded partitions.
+
+    When to reach for it (and when not): AQE's skew-join splitting already
+    handles sort-merge-join skew at runtime, and a truly dim-sized right
+    side should just broadcast — both measured faster here (BASELINE.md).
+    Salting is the explicit fallback for the remaining shape: a right side
+    too big to broadcast joined on a key AQE can't split further (one
+    monster key). The oracle is the *unsalted* join — salting must be
+    invisible in the result, and this op proves exactly that."""
+    from ..functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 5),
+         ("signup", 3), ("error", 2)],
+        "event_type string, weight int")
+    joined = salted_join(
+        ev.select("event_id", "event_type", "value"), dim, "event_type",
+        salt=16, entropy_col="event_id")
+    return (joined.groupBy("event_type", "weight")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(cents("value") * C("weight")).cast("double") / 100.0)
+                 .alias("weighted_value")))

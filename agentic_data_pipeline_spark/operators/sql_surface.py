@@ -894,3 +894,36 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefer the minimal set list over CUBE's 2^n."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@op("q_variant", oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                                  AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT)                                           AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT)                                              AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT)                                              AS max_k
+    FROM events
+    GROUP BY event_type
+""")
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: `parse_json` once
+    into the binary variant encoding, then typed `variant_get` paths.
+
+    q_json_funcs covers the classic string-path (`get_json_object`) route;
+    this op pins the VARIANT route because at 100 TB they diverge hard:
+    get_json_object re-parses the JSON text per extraction, while VARIANT
+    parses once into a shredded binary form that repeated `variant_get`
+    calls navigate without re-parsing — and Parquet-backed variant columns
+    support shredded storage with pushdown. The DuckDB oracle reads the
+    same paths through its JSON type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(C("props")), "$.k", "int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))

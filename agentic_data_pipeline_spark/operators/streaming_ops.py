@@ -12,6 +12,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import table_path
 from ..registry import op
@@ -155,3 +156,34 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _as_stream_dir(table_path(sf_dir, "events")))
     run_to_memory(sdf, table, output_mode="append")
     return spark.table(table)
+
+
+@op("stream_to_bronze", oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+""")
+def stream_to_bronze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the bronze lake (foreachBatch → the same
+    write_bronze sink batch ingestion uses; availableNow trigger +
+    checkpoint for exactly-once). The op verifies the WHOLE loop: stream
+    the events fixture into a scratch bronze dataset, read the bronze
+    parquet back, and aggregate — hash-equal to aggregating the source
+    directly iff no row was lost or doubled."""
+    from ..functions.helpers import dec_sum
+    from ..sources.bronze import read_bronze
+    from ..streaming.windows import stream_to_bronze
+
+    scratch = os.path.join("/root/repo/.tmp", "stream_bronze",
+                           uuid.uuid4().hex[:8])
+    path_lake = os.path.join(scratch, "lake")
+    stream_to_bronze(spark, _as_stream_dir(table_path(sf_dir, "events")),
+                     path_lake, "events_rt",
+                     os.path.join(scratch, "ckpt"))
+    df = read_bronze(spark, path_lake, "events_rt")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dec_sum("value").alias("sum_value"))

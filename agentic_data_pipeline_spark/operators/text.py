@@ -416,3 +416,61 @@ def ext_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(C("rn") <= 3)
         .drop("rn")
     )
+
+
+# --- HTML / boilerplate stripping --------------------------------------
+#
+# The fixture corpus is plain text, so the op salts each document into a
+# deterministic HTML page (tags + nav/footer boilerplate + entities) and
+# then strips it — making the extraction observable and exactly
+# reproducible in the oracle, the same trick ext_pii_redact uses.
+
+_HTML_PRE = ("<html><head><title>Doc {id}</title></head><body>"
+             "<nav>home | about | login</nav><p>")
+_HTML_POST = "</p><footer>&copy; 2026 Example &amp; Co.</footer></body></html>"
+_TAG_RE = "<[^>]*>"
+
+
+@op("ext_html_strip", oracle=rf"""
+    WITH page AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body><nav>home | about | login</nav><p>'
+               || text || '{_HTML_POST}' AS html
+        FROM documents
+    ), stripped AS (
+        SELECT doc_id,
+               CAST(len(html) AS BIGINT) AS n_raw,
+               trim(regexp_replace(
+                   replace(replace(regexp_replace(html, '{_TAG_RE}', ' ', 'g'),
+                           '&amp;', '&'), '&copy;', chr(169)),
+                   '\s+', ' ', 'g')) AS clean
+        FROM page
+    )
+    SELECT doc_id, n_raw,
+           CAST(len(clean) AS BIGINT) AS n_clean,
+           md5(clean) AS clean_md5
+    FROM stripped
+""")
+def ext_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate stripping (the first pass of every web-crawl
+    pipeline): drop tags, decode entities, collapse whitespace. Pure
+    codegen regex/replace chain — a map-only pass fused into the scan at
+    any scale; no Python, no shuffle (the oracle checks the cleaned text
+    by md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), C("doc_id").cast("string"),
+        F.lit("</title></head><body><nav>home | about | login</nav><p>"),
+        C("text"), F.lit(_HTML_POST))
+    clean = F.trim(F.regexp_replace(
+        F.replace(F.replace(F.regexp_replace(html, _TAG_RE, " "),
+                            F.lit("&amp;"), F.lit("&")),
+                  F.lit("&copy;"), F.lit("©")),
+        r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(html).cast("bigint").alias("n_raw"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_md5"),
+    )
