@@ -161,6 +161,50 @@ def ext_docs_to_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_STRIDE = 8
+
+
+@op("ext_chunk_overlap", oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(g.i AS INT)                                       AS chunk_id,
+           CAST(len(list_slice(t, g.i * {CHUNK_STRIDE} + 1,
+                               g.i * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS INT)
+                                                                  AS n_tokens,
+           md5(array_to_string(list_slice(t, g.i * {CHUNK_STRIDE} + 1,
+                               g.i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+                                                                  AS chunk_md5
+    FROM toks, UNNEST(range(CAST(CEIL(len(t) / {CHUNK_STRIDE}.0) AS BIGINT)))
+         AS g(i)
+""")
+def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding-window) chunking: CHUNK_SIZE-token windows
+    every CHUNK_STRIDE tokens — the RAG-standard chunker where adjacent
+    chunks share half their tokens so no semantic boundary is lost. Same
+    UDTF shape as ext_docs_to_chunks (JVM slice array → explode; no
+    Python, no shuffle); overlap multiplies output rows by
+    size/stride = 2×, never the shuffle volume (there is none).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(C("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_STRIDE))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_SIZE)))
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return exploded.select(
+        "doc_id",
+        C("chunk_id").cast("int").alias("chunk_id"),
+        F.size(F.split(C("chunk"), " ")).alias("n_tokens"),
+        F.md5(F.encode(C("chunk"), "utf-8")).alias("chunk_md5"),
+    )
+
+
 from .text import QUALITY_SQL  # noqa: E402  (shared quality definition)
 
 _CURATION_ORACLE = r"""

@@ -1,0 +1,159 @@
+"""Data-profiling operators (beyond-reference, 100 TB surface): value
+histograms, per-document token entropy, and corpus-level PMI collocations.
+
+Profiling is the first query anyone runs on a new 100 TB drop; each op here
+is a one- or two-shuffle aggregate whose partial (map-side) form Catalyst
+generates automatically, so cost scales with distinct keys, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.helpers import cents
+from ..registry import op
+
+C = F.col
+
+HIST_LO = 0.0
+HIST_WIDTH = 25_000.0   # o_totalprice spans [~1e3, 5e5) → 20 buckets
+
+
+@op("q_histogram", oracle=f"""
+    SELECT CAST(FLOOR((o_totalprice - {HIST_LO}) / {HIST_WIDTH}) AS INT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0) AS sum_price
+    FROM orders
+    GROUP BY 1
+""")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram of orders.o_totalprice (25k buckets).
+
+    The profiling workhorse: binning turns a continuous column into a
+    group-by key, so the whole histogram is ONE partial+final hash
+    aggregate — 20 rows cross the shuffle per map task regardless of table
+    size. Bucket edges are fixed constants; identical IEEE division on
+    both engines makes bucket assignment exact, and the money sum goes
+    through fixed-point cents so it is order-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor((C("o_totalprice") - HIST_LO) / HIST_WIDTH).cast("int")
+    return (orders.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 (F.sum(cents("o_totalprice")).cast("double") / 100.0)
+                 .alias("sum_price")))
+
+
+@op("ext_entropy", oracle=r"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+    ), c AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)                          AS n_tokens,
+           CAST(COUNT(*) AS BIGINT)                        AS n_distinct,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+                                                           AS token_entropy
+    FROM c
+    GROUP BY doc_id
+""")
+def ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    information-density quality signal (low entropy ⇒ repetitive/spammy
+    text, a standard web-crawl filter next to ext_repetition's
+    duplicate-bigram fraction).
+
+    H = log2(n) − (Σ c·log2 c)/n over token counts c. Shape at scale: the
+    token explode never leaves the map side as raw rows — the
+    (doc_id, token) partial aggregate combines within each input split, so
+    the first shuffle carries one row per distinct token per doc (~half
+    the tokens at web-text Zipf), the second one row per doc. Identical
+    formula both engines; 6dp rounding absorbs summation-order float
+    noise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(C("text")), r"\s+")).alias("w"))
+    counts = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return (counts.groupBy("doc_id")
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.round(F.log2(n) - F.sum(C("c") * F.log2("c")) / n, 6)
+                 .alias("token_entropy")))
+
+
+PMI_MIN_COUNT = 20
+
+
+@op("ext_pmi_bigrams", oracle=rf"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+        FROM documents
+    ), uni AS (
+        SELECT u.w AS word, COUNT(*) AS c
+        FROM toks, UNNEST(w) AS u(w) GROUP BY 1
+    ), big AS (
+        SELECT w[g.i] AS w1, w[g.i + 1] AS w2, COUNT(*) AS c
+        FROM toks, UNNEST(range(1, len(w))) AS g(i)
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+               (SELECT SUM(c) FROM big) AS n_big
+    )
+    SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS pair_count,
+           ROUND(log2((b.c / t.n_big)
+                      / ((u1.c / t.n_uni) * (u2.c / t.n_uni))), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    CROSS JOIN tot t
+    WHERE b.c >= {PMI_MIN_COUNT}
+""")
+def ext_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PMI collocations: every bigram seen ≥ PMI_MIN_COUNT
+    times, scored by pointwise mutual information against the unigram
+    model — the classic phrase-mining / tokenizer-merge-candidate op
+    (word2phrase, BPE-merge scoring are this same shape).
+
+    Shape at scale: two partial-aggregated counts (unigrams, bigrams) over
+    one tokenized scan subtree, then the frequent-bigram table (tiny after
+    the ≥ min-count filter) joins the unigram counts twice — Spark
+    broadcasts whichever side its estimates say is small, and at corpus
+    scale that is the filtered bigram side, so the unigram table never
+    shuffles. The corpus totals are two scalar aggregates broadcast as a
+    1-row cross join. No ORDER BY on the float score — thresholding, not
+    ranking, keeps the result set float-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), r"[^a-z0-9]+", " ")),
+        r"\s+")
+    toks = docs.select(words.alias("w"))
+    uni = (toks.select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x as w1, w[i + 1] as w2))")
+    big = (toks.filter(F.size("w") > 1)
+           .select(F.explode(pairs).alias("p"))
+           .select(C("p.w1").alias("w1"), C("p.w2").alias("w2"))
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        big.agg(F.sum("c").alias("n_big")))
+    u1 = uni.select(C("word").alias("w1"), C("c").alias("c1"))
+    u2 = uni.select(C("word").alias("w2"), C("c").alias("c2"))
+    freq = big.filter(C("c") >= PMI_MIN_COUNT)
+    return (freq.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(tot))
+            .select("w1", "w2", C("c").cast("bigint").alias("pair_count"),
+                    F.round(F.log2((C("c") / C("n_big"))
+                                   / ((C("c1") / C("n_uni"))
+                                      * (C("c2") / C("n_uni")))), 6)
+                    .alias("pmi")))

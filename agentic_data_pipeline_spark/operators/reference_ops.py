@@ -58,6 +58,34 @@ def ingest_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest(spark, path, "json", schema=nation.schema)
 
 
+@op("ingest_orc", oracle="SELECT * FROM part")
+def ingest_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC files → distributed ORC read (lossless round-trip).
+
+    Beyond-reference format (the reference reads csv/excel/json/pdf only,
+    engine.py:21-37) that Spark's native vectorized ORC reader gives for
+    free — same predicate-pushdown/column-pruning story as parquet.
+    """
+    part = load_table(spark, sf_dir, "part")
+    path = _scratch("ingest_orc", "part.orc")
+    part.write.mode("overwrite").orc(path)
+    return ingest(spark, path, "orc", schema=part.schema)
+
+
+@op("ingest_text", oracle="SELECT text AS value FROM documents")
+def ingest_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-oriented text files → spark.read.text.
+
+    The rawest corpus format (one document per line — fixture text is
+    newline-free); the entire text pipeline (§2.5 ops) can start from this
+    instead of parquet. Distributed and splittable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("ingest_text", "documents.txt")
+    docs.select("text").write.mode("overwrite").text(path)
+    return ingest(spark, path, "text")
+
+
 @op("ingest_excel", oracle="SELECT * FROM supplier")
 def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier → xlsx file → driver-side Excel ingest (lossless round-trip).

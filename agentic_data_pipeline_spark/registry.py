@@ -68,8 +68,8 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
-        analytics, approx, dedup, flagship, multimodal, prep, reference_ops, rules,
-        sampling, sessionize,
+        analytics, approx, cdc, dedup, flagship, multimodal, prep, profiling,
+        reference_ops, rules, sampling, sessionize,
         similarity, sql_surface, streaming_ops, temporal, text, tpch_full,
     )
     _loaded = True

@@ -127,6 +127,12 @@ _READERS = {
         spark.read.schema(schema).parquet(path) if schema is not None
         else spark.read.parquet(path)
     ),
+    # Beyond-reference formats Spark reads natively (same dispatch contract).
+    "orc": lambda spark, path, schema, options: (
+        spark.read.schema(schema).orc(path) if schema is not None
+        else spark.read.orc(path)
+    ),
+    "text": lambda spark, path, schema, options: spark.read.text(path),
 }
 
 
