@@ -154,6 +154,62 @@ def documents_as_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 64
+MAX_FRAMES = 8
+
+
+@op("ext_frame_sample", oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT asset_id,
+           CAST(g.i AS INT)                                     AS frame_no,
+           CAST(octet_length(encode(substring(
+               text, g.i * {FRAME_BYTES} + 1, {FRAME_BYTES}))) AS INT)
+                                                                AS n_frame_bytes,
+           md5(substring(text, g.i * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+                                                                AS frame_md5
+    FROM a, UNNEST(range(LEAST({MAX_FRAMES},
+                          GREATEST(1, n // {FRAME_BYTES})))) AS g(i)
+""")
+def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape registered end-to-end: binary assets →
+    sample_frames (mapInPandas UDTF explode: one asset row in, ≤8 frame
+    rows out) → per-frame size + md5. The decoder is the deterministic
+    byte-slice stand-in (module docstring); the oracle can replay it
+    because the fixture payloads are ASCII text, so byte slices equal
+    char slices. At 100 TB the explode multiplies rows ~8× but stays
+    partition-local — zero shuffles, and frames inherit the asset's
+    partitioning for any downstream per-frame featurization.
+    """
+    assets = documents_as_assets(spark, sf_dir)
+    frames = sample_frames(assets, every_n_bytes=FRAME_BYTES,
+                           max_frames=MAX_FRAMES)
+    return frames.select(
+        "asset_id", "frame_no",
+        F.octet_length(C("frame")).alias("n_frame_bytes"),
+        F.md5(C("frame")).alias("frame_md5"),
+    )
+
+
+@op("ext_resize")  # rows-only: NUL padding is not expressible in DuckDB varchar
+def ext_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image-resize shape registered end-to-end: binary assets →
+    resize_images (Arrow-batched mapInPandas; stubbed kernel pads/truncates
+    to width×height bytes) → size/shape summary. Pytest covers the
+    deterministic payload invariants; the driver checks schema stability.
+    """
+    assets = documents_as_assets(spark, sf_dir)
+    resized = resize_images(assets, width=16, height=16)
+    return resized.select(
+        "asset_id", "width", "height",
+        F.octet_length(C("media")).alias("n_bytes"),
+        F.md5(C("media")).alias("media_md5"),
+    ).orderBy("asset_id")
+
+
 @op("ext_multimodal", oracle="""
     SELECT doc_id AS asset_id,
            'text/plain' AS mime,
