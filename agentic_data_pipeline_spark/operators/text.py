@@ -318,7 +318,8 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term,
            CAST(COUNT(*) AS BIGINT)           AS n_docs,
-           list_sort(list(doc_id))            AS postings
+           array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')
+                                              AS postings_csv
     FROM w
     WHERE term <> ''
     GROUP BY term
@@ -343,7 +344,9 @@ def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
          .distinct())
     return (w.groupBy("term")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sort_array(F.collect_list("doc_id")).alias("postings")))
+                 F.array_join(
+                     F.sort_array(F.collect_list(C("doc_id").cast("string"))),
+                     ",").alias("postings_csv")))
 
 
 @op("ext_ngram_freq", oracle=r"""
