@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 from .session import tune
 
-# The fixture tables (TESTDATA.md). `events.ts` is INT64 nanos (no Spark
-# type) — see events_with_ts for the canonical conversion.
+# The fixture tables (TESTDATA.md). `events.ts` has shipped as either INT64
+# nanos (r1 lake) or a real parquet TIMESTAMP (r2 lake) — see ts_us_long /
+# ts_us_timestamp for the canonical schema-sniffing conversion.
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -41,16 +42,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the raw nano `ts` plus a usable timestamp column `ts_us`.
+def ts_us_long(ev: DataFrame):
+    """µs-since-epoch BIGINT expression for `events.ts`, schema-robust.
 
-    Spark has no nanosecond timestamp type, so the lake stores INT64 nanos and
-    we derive microsecond precision exactly the way DuckDB's reader does
-    (truncation), keeping the two engines bit-identical on every derived
-    time value.
+    The lake has shipped events.ts two ways: INT64 TIMESTAMP(NANOS) (read as
+    LONG under nanosAsLong) and plain parquet TIMESTAMP (µs, read as
+    TIMESTAMP_NTZ). Both reduce to the same µs integer DuckDB's
+    ``epoch_us(ts)`` yields — nanos truncate, µs are exact (session tz is
+    pinned UTC by session.tune, so the NTZ→instant cast is identity).
     """
+    from pyspark.sql.types import LongType
+
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
+def ts_us_timestamp(ev: DataFrame):
+    """µs-precision TIMESTAMP expression for `events.ts` (twin of
+    ts_us_long for window/date_trunc call sites)."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events plus a usable µs-precision timestamp column `ts_us`."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts_us", ts_us_timestamp(ev))
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -33,6 +33,28 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled for a statically-known dimension.
+
+    The HOF fold in `dot` interprets its lambda per element (HigherOrder
+    functions don't participate in whole-stage codegen); for a known dim
+    the unrolled sum is plain codegen arithmetic. Addition stays the same
+    left-to-right double sequence as the fold, so results are
+    bit-identical — oracle hash-parity is preserved.
+    """
+    def term(i: int) -> Column:
+        return a.getItem(i).cast("double") * b.getItem(i).cast("double")
+
+    acc = term(0)
+    for i in range(1, dim):
+        acc = acc + term(i)
+    return acc
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs (matches DuckDB NaN-free
     handling only when inputs are non-degenerate — fixture vectors are)."""

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, ts_us_long
 from ..registry import op
 
 C = F.col
@@ -38,8 +38,8 @@ def ext_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and shuffling the full fact table. The struct ordering key makes
     the tiebreak total, so output is deterministic.
     """
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000"))  # µs: DuckDB's parquet ns precision
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_us_long(ev))  # µs: shared with the oracle
     latest = F.max_by(
         F.struct("event_id", "event_type", "value"),
         F.struct("ts_us", "event_id"))

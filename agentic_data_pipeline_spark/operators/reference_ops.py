@@ -34,6 +34,26 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def _sf_scratch(sf_dir: str, *parts: str) -> str:
+    """Scratch path keyed by SF tier, so cached files never cross tiers."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return _scratch(tag, *parts)
+
+
+def _materialize_once(path: str, write_fn) -> str:
+    """Run `write_fn` only when `path` isn't already materialized.
+
+    The fixture lake is immutable within a round, so ingest round-trip ops
+    pay their scratch-write Spark jobs once per (tier, format) — not once
+    per driver correctness check. Distributed writes leave a _SUCCESS
+    marker; driver-side writers produce a plain file.
+    """
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            or os.path.isfile(path)):
+        write_fn()
+    return path
+
+
 # ------------------------------------------------------------------ ingest
 
 @op("ingest_csv", oracle="SELECT * FROM customer")
@@ -44,8 +64,9 @@ def ingest_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse back to the identical double.
     """
     cust = load_table(spark, sf_dir, "customer")
-    path = _scratch("ingest_csv", "customer.csv")
-    cust.write.mode("overwrite").option("header", "true").csv(path)
+    path = _sf_scratch(sf_dir, "ingest_csv", "customer.csv")
+    _materialize_once(path, lambda: cust.write.mode("overwrite")
+                      .option("header", "true").csv(path))
     return ingest(spark, path, "csv", schema=cust.schema)
 
 
@@ -53,8 +74,8 @@ def ingest_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → JSON-lines files → distributed JSON read with schema."""
     nation = load_table(spark, sf_dir, "nation")
-    path = _scratch("ingest_json", "nation.json")
-    nation.write.mode("overwrite").json(path)
+    path = _sf_scratch(sf_dir, "ingest_json", "nation.json")
+    _materialize_once(path, lambda: nation.write.mode("overwrite").json(path))
     return ingest(spark, path, "json", schema=nation.schema)
 
 
@@ -67,8 +88,8 @@ def ingest_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     free — same predicate-pushdown/column-pruning story as parquet.
     """
     part = load_table(spark, sf_dir, "part")
-    path = _scratch("ingest_orc", "part.orc")
-    part.write.mode("overwrite").orc(path)
+    path = _sf_scratch(sf_dir, "ingest_orc", "part.orc")
+    _materialize_once(path, lambda: part.write.mode("overwrite").orc(path))
     return ingest(spark, path, "orc", schema=part.schema)
 
 
@@ -81,8 +102,9 @@ def ingest_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of parquet. Distributed and splittable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    path = _scratch("ingest_text", "documents.txt")
-    docs.select("text").write.mode("overwrite").text(path)
+    path = _sf_scratch(sf_dir, "ingest_text", "documents.txt")
+    _materialize_once(path, lambda: docs.select("text")
+                      .write.mode("overwrite").text(path))
     return ingest(spark, path, "text")
 
 
@@ -97,13 +119,17 @@ def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.xlsx_minimal import write_xlsx
 
     supp = load_table(spark, sf_dir, "supplier")
-    path = _scratch("ingest_excel", "supplier.xlsx")
-    try:
-        import openpyxl  # noqa: F401
+    path = _sf_scratch(sf_dir, "ingest_excel", "supplier.xlsx")
 
-        supp.toPandas().to_excel(path, index=False)
-    except ImportError:
-        write_xlsx(supp.toPandas(), path)
+    def write() -> None:
+        try:
+            import openpyxl  # noqa: F401
+
+            supp.toPandas().to_excel(path, index=False)
+        except ImportError:
+            write_xlsx(supp.toPandas(), path)
+
+    _materialize_once(path, write)
     return ingest(spark, path, "excel", schema=supp.schema)
 
 
@@ -139,16 +165,23 @@ def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.pdf_minimal import write_pdf
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .orderBy("doc_id").limit(3).select("doc_id", "text").collect()
-    )
-    pdf_dir = _scratch("ingest_pdf", "x") and os.path.join(_TMP, "ingest_pdf")
-    for r in docs:
-        words = r["text"].split(" ")
-        mid = max(1, len(words) // 2)
-        write_pdf([" ".join(words[:mid]), " ".join(words[mid:])],
-                  os.path.join(pdf_dir, f"doc_{r['doc_id']}.pdf"))
+    pdf_dir = os.path.dirname(_sf_scratch(sf_dir, "ingest_pdf", "x"))
+    # marker lives OUTSIDE pdf_dir: binaryFile would ingest it otherwise
+    marker = pdf_dir + ".done"
+
+    def write() -> None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(3).select("doc_id", "text").collect()
+        )
+        for r in docs:
+            words = r["text"].split(" ")
+            mid = max(1, len(words) // 2)
+            write_pdf([" ".join(words[:mid]), " ".join(words[mid:])],
+                      os.path.join(pdf_dir, f"doc_{r['doc_id']}.pdf"))
+        open(marker, "w").close()
+
+    _materialize_once(marker, write)
     out = ingest(spark, pdf_dir, "pdf")
     return out.select(
         F.element_at(F.split(C("path"), "/"), -1).alias("file"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, ts_us_long
 from ..functions.helpers import cents
 from ..registry import op
 
@@ -56,9 +56,8 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gap math runs on µs-truncated integers — the precision both engines
     share (events are ns; DuckDB reads them truncated to µs).
     """
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_us_long(ev))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     new_s = F.when(
         F.lag("ts_us").over(w).isNull()

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, ts_us_long, ts_us_timestamp
 from ..functions.helpers import cents
 from ..registry import op
 
@@ -63,8 +63,8 @@ def asof_join_events(ev: DataFrame, probe_type: str, ref_type: str) -> DataFrame
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event paired with the user's most recent
     preceding purchase (µs precision shared with the oracle)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000"))
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_us_long(ev))
     return asof_join_events(ev, probe_type="error", ref_type="purchase")
 
 
@@ -142,8 +142,8 @@ def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     data — gap filling never touches raw-event volume. One shuffle for the
     pre-agg, one bucket-sized one for the window.
     """
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_us_timestamp(ev))
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", C("ts_us")).alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"),

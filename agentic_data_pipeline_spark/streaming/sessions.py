@@ -99,7 +99,7 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
     tune(spark)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .select("user_id", "ts_us", "value")
     )
     return stream.groupBy("user_id").applyInPandasWithState(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
 )
 
 from ..functions.helpers import dec_sum
@@ -21,7 +22,7 @@ from ..session import tune
 
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType(), True),
-    StructField("ts", LongType(), True),          # epoch nanos (see catalog)
+    StructField("ts", TimestampNTZType(), True),  # µs TIMESTAMP (see catalog)
     StructField("user_id", LongType(), True),
     StructField("event_type", StringType(), True),
     StructField("value", DoubleType(), True),
@@ -41,7 +42,7 @@ def stream_tumbling_agg(spark: SparkSession, input_dir: str,
     tune(spark)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_us", F.col("ts").cast("timestamp"))
         .withWatermark("ts_us", watermark)
     )
     return (
@@ -66,7 +67,7 @@ def stream_sliding_agg(spark: SparkSession, input_dir: str,
     tune(spark)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_us", F.col("ts").cast("timestamp"))
         .withWatermark("ts_us", watermark)
     )
     return (
@@ -139,7 +140,7 @@ def stream_interval_join(spark: SparkSession, input_dir: str,
             .filter(F.col("event_type") == evt)
             .select(F.col("event_id").alias(f"{prefix}_id"),
                     F.col("user_id").alias(f"{prefix}_user"),
-                    F.timestamp_micros(F.expr("ts div 1000"))
+                    F.col("ts").cast("timestamp")
                     .alias(f"{prefix}_ts"))
             .withWatermark(f"{prefix}_ts", watermark)
         )

@@ -170,3 +170,82 @@ def test_domain_mix_thresholds(spark):
     avg = {bp: sum(v) / len(v) for bp, v in rate.items()}
     assert avg[1000] >= avg[500] >= avg[250]
     assert avg[1000] == 1.0   # the binding tier keeps everything
+
+
+def test_minhash_recall_and_precision_vs_exact(spark):
+    """Value-level contract for the rows-only minhash op: every reported
+    pair carries the TRUE exact jaccard (precision is exact by
+    construction — re-verified here), every exact-duplicate pair is
+    recovered (deterministic: identical signatures collide in every band),
+    and recall on high-J near-dups beats the banding bound."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.dedup import (
+        jaccard, minhash_candidates, word_shingles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("g"))
+    a = grams.select(F.col("doc_id").alias("a_id"), F.col("g").alias("a_g"))
+    b = grams.select(F.col("doc_id").alias("b_id"), F.col("g").alias("b_g"))
+    j = jaccard(F.col("a_g"), F.col("b_g"))
+    exact = {(r["a_id"], r["b_id"]): r["j"] for r in
+             a.join(b, F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id", F.round(j, 6).alias("j"))
+             .filter("j >= 0.5").collect()}
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in
+           minhash_candidates(docs, "doc_id", "text", 0.5).collect()}
+    assert got, "fixture must contain J>=0.5 pairs"
+    for p, jv in got.items():                      # exact precision
+        assert p in exact and abs(jv - exact[p]) < 1e-6, (p, jv)
+    dups = {p for p, v in exact.items() if v == 1.0}
+    assert dups <= set(got)                        # deterministic recall
+    hi = {p for p, v in exact.items() if v >= 0.8}
+    if hi:                                         # probabilistic recall
+        assert len(hi & set(got)) / len(hi) >= 0.8, (len(hi), len(hi & set(got)))
+
+
+def test_simhash_candidates_complete_for_hamming_bound(spark):
+    """The 4x16-band join + verify must return EXACTLY the global
+    hamming<=3 pair set — completeness is pigeonhole-guaranteed, so this is
+    an equality check against an all-pairs computation, not a sample."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.dedup import (
+        hamming_bands, simhash_band_table, simhash_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    sh = simhash_band_table(docs, "doc_id", "text")
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    truth = {(r["a_id"], r["b_id"]) for r in
+             a.join(b, F.col("a_id") < F.col("b_id"))
+             .withColumn("h", hamming_bands(F.col("a_sh"), F.col("b_sh")))
+             .filter("h <= 3").collect()}
+    got = {(r["a_id"], r["b_id"]) for r in
+           simhash_candidates(docs, "doc_id", "text", 3).collect()}
+    assert got == truth and truth
+
+
+def test_resize_payload_md5_matches_reference_slice(spark):
+    """ext_resize's media_md5 must equal an independently computed md5 of
+    the pad/truncate reference payload for EVERY asset — the stub kernel is
+    value-pinned, not just shape-pinned."""
+    import hashlib
+
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+    from tests.conftest import SF_SMOKE
+
+    _ensure_loaded()
+    rows = OPS["ext_resize"].fn(spark, SF_SMOKE).collect()
+    texts = {r["doc_id"]: r["text"] for r in
+             load_table(spark, SF_SMOKE, "documents")
+             .select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    n = 16 * 16
+    for r in rows:
+        ref = texts[r["asset_id"]].encode()[:n].ljust(n, b"\0")
+        assert r["media_md5"] == hashlib.md5(ref).hexdigest(), r["asset_id"]
+        assert r["n_bytes"] == n

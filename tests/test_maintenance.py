@@ -89,9 +89,11 @@ def test_latest_by_key_is_unique_and_latest(spark):
     latest = ext_latest_by_key(spark, SF_SMOKE)
     ev = load_table(spark, SF_SMOKE, "events")
     assert latest.count() == ev.select("user_id").distinct().count()
+    from agentic_data_pipeline_spark.catalog import ts_us_long
+
     maxes = {r["user_id"]: r["m"] for r in
              ev.groupBy("user_id")
-               .agg(F.max(F.expr("ts div 1000")).alias("m")).collect()}
+               .agg(F.max(ts_us_long(ev)).alias("m")).collect()}
     for r in latest.collect():
         assert r["ts_us"] == maxes[r["user_id"]]
 

@@ -226,3 +226,18 @@ def test_curation_pipeline_eval_side_broadcasts(spark):
     # corpus shingles — never one per pipeline stage (formatted explain
     # names each scan node twice: tree + details)
     assert p.count("Scan parquet") == 6
+
+
+def test_similarity_topk_never_partitions_by_query_alone(spark):
+    """The two-phase ranking must never hash-partition the full scored
+    corpus by query_id alone (the r1 scale bug: Q queries → Q tasks
+    holding everything). Phase 1 must salt; only the tiny candidate set
+    (<= Q x n_salt x k rows) may exchange on bare query_id."""
+    import re
+
+    p = plan_of(spark, "ext_similarity_topk")
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    salted = [x for x in parts if "__salt" in x]
+    bare = [x for x in parts if "query_id" in x and "__salt" not in x]
+    assert salted, p          # phase-1 exchange carries the salt
+    assert len(bare) <= 1, p  # phase-2 merge over candidates only

@@ -30,8 +30,8 @@ def _write_events(path: str, hours: list[int]) -> None:
     n = len(hours)
     pq.write_table(pa.table({
         "event_id": pa.array(range(n), pa.int64()),
-        "ts": pa.array([(BASE_US + h * HOUR_US) * 1000 + i
-                        for i, h in enumerate(hours)], pa.int64()),
+        "ts": pa.array([BASE_US + h * HOUR_US + i
+                        for i, h in enumerate(hours)], pa.timestamp("us")),
         "user_id": pa.array([1] * n, pa.int64()),
         "event_type": pa.array(["click"] * n),
         "value": pa.array([1.0] * n),
@@ -55,7 +55,7 @@ def test_late_within_watermark_merges_and_emits_once(spark, tmp_path):
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_us", F.col("ts").cast("timestamp"))
         .withWatermark("ts_us", "2 hours")
         .groupBy(F.window("ts_us", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -89,8 +89,8 @@ def _write_typed_events(path: str, rows: list[tuple[int, int, str]]) -> None:
     """rows = [(event_id, hour_offset, event_type)] for one user."""
     pq.write_table(pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
-        "ts": pa.array([(BASE_US + r[1] * HOUR_US) * 1000 for r in rows],
-                       pa.int64()),
+        "ts": pa.array([BASE_US + r[1] * HOUR_US for r in rows],
+                       pa.timestamp("us")),
         "user_id": pa.array([1] * len(rows), pa.int64()),
         "event_type": pa.array([r[2] for r in rows]),
         "value": pa.array([1.0] * len(rows)),
