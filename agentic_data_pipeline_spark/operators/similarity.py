@@ -113,18 +113,14 @@ def vector_search(index: DataFrame, query_vec: list[float], k: int = 5,
     for x in qd:
         acc += x * x
     qn = math.sqrt(acc)
-    return _cosine_topk(index, q, F.lit(qn), k, id_col, vec_col,
-                        dim=len(query_vec))
+    return _cosine_topk(index, q, F.lit(qn), k, id_col, vec_col)
 
 
 def _cosine_topk(index: DataFrame, q, qn, k: int, id_col: str,
-                 vec_col: str, dim: int | None = None) -> DataFrame:
-    from ..functions.vector import dot, dot_fixed, l2_norm, l2_norm_fixed
+                 vec_col: str) -> DataFrame:
+    from ..functions.vector import dot, l2_norm
 
-    if dim:  # known dim -> unrolled codegen arithmetic (bit-identical)
-        sim = dot_fixed(C(vec_col), q, dim) / (l2_norm_fixed(C(vec_col), dim) * qn)
-    else:
-        sim = dot(C(vec_col), q) / (l2_norm(C(vec_col)) * qn)
+    sim = dot(C(vec_col), q) / (l2_norm(C(vec_col)) * qn)
     return (
         index.select(C(id_col), F.round(sim, 6).alias("sim"))
         .orderBy(C("sim").desc(), C(id_col))
@@ -167,20 +163,17 @@ def vector_search_batch(index: DataFrame, query_vec: list[float], k: int = 5,
 
 def vector_search_by_id(index: DataFrame, query_id: int, k: int = 5,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding",
-                        dim: int | None = None) -> DataFrame:
+                        vec_col: str = "embedding") -> DataFrame:
     """Top-k neighbors of a vector already in the index — single job: the
     1-row query side broadcasts into a join instead of a driver round-trip
     (collect-then-literal costs an extra Spark job per query)."""
-    from ..functions.vector import dot, dot_fixed, l2_norm, l2_norm_fixed
+    from ..functions.vector import dot, l2_norm
 
     # Query norm computed once on the 1-row broadcast side — not per
     # candidate row (same double either way; ~1/3 less per-row work).
-    nrm = (lambda c: l2_norm_fixed(c, dim)) if dim else l2_norm
-    dp = (lambda a, b: dot_fixed(a, b, dim)) if dim else dot
     q = index.filter(C(id_col) == query_id).select(
-        C(vec_col).alias("__qv"), nrm(C(vec_col)).alias("__qn"))
-    sim = dp(C(vec_col), C("__qv")) / (nrm(C(vec_col)) * C("__qn"))
+        C(vec_col).alias("__qv"), l2_norm(C(vec_col)).alias("__qn"))
+    sim = dot(C(vec_col), C("__qv")) / (l2_norm(C(vec_col)) * C("__qn"))
     return (
         index.crossJoin(F.broadcast(q))
         .select(C(id_col), F.round(sim, 6).alias("sim"))
@@ -213,14 +206,14 @@ def vector_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF: dimension is fixed and the embedder L2-normalizes, so every doc
     must yield (64, 1.0) — a cross-engine check that the UDF ran, batched,
     and normalized correctly for every row."""
-    from ..functions.vector import l2_norm_fixed
+    from ..functions.vector import l2_norm
 
     docs = load_table(spark, sf_dir, "documents")
     idx = vector_index(docs, text_col="text", id_col="doc_id")
     return idx.select(
         "doc_id",
         F.size("embedding").alias("dim"),
-        F.round(l2_norm_fixed(C("embedding"), EMBED_DIM), 4).alias("l2"),
+        F.round(l2_norm(C("embedding")), 4).alias("l2"),
     )
 
 
@@ -236,7 +229,7 @@ def vector_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — the free-text path embeds on the driver and uses vector_search,
     pytest-covered)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return vector_search_by_id(emb, 0, k=5, dim=EMBED_DIM)
+    return vector_search_by_id(emb, 0, k=5)
 
 
 def batch_topk(scored: DataFrame, k: int, query_col: str = "query_id",
@@ -282,15 +275,14 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.5). Query side broadcasts; ranking is salted two-phase
     top-k (`batch_topk`) — the all-pairs matrix never materializes and no
     exchange partitions the full corpus by query_id alone."""
-    from ..functions.vector import dot_fixed, l2_norm_fixed
+    from ..functions.vector import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(C("vec_id").isin(0, 1, 2)).select(
         C("vec_id").alias("query_id"), C("embedding").alias("qv"),
-        l2_norm_fixed(C("embedding"), EMBED_DIM).alias("qn"),
+        l2_norm(C("embedding")).alias("qn"),
     )
-    sim = (dot_fixed(C("embedding"), C("qv"), EMBED_DIM)
-           / (l2_norm_fixed(C("embedding"), EMBED_DIM) * C("qn")))
+    sim = dot(C("embedding"), C("qv")) / (l2_norm(C("embedding")) * C("qn"))
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .filter(C("vec_id") != C("query_id"))
@@ -317,17 +309,17 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same structure an LSH bucket join gives when no natural block key
     exists. Self-join shuffles once on the block key.
     """
-    from ..functions.vector import dot_fixed, l2_norm_fixed
+    from ..functions.vector import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     # norms once per vector (each vector joins into many pairs)
     a = emb.select(C("vec_id").alias("a_id"), C("label").alias("a_label"),
                    C("embedding").alias("a_vec"),
-                   l2_norm_fixed(C("embedding"), EMBED_DIM).alias("a_n"))
+                   l2_norm(C("embedding")).alias("a_n"))
     b = emb.select(C("vec_id").alias("b_id"), C("label").alias("b_label"),
                    C("embedding").alias("b_vec"),
-                   l2_norm_fixed(C("embedding"), EMBED_DIM).alias("b_n"))
-    sim = dot_fixed(C("a_vec"), C("b_vec"), EMBED_DIM) / (C("a_n") * C("b_n"))
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
     return (
         a.join(b, (C("a_label") == C("b_label")) & (C("a_id") < C("b_id")))
         .filter(sim > 0.8)
