@@ -114,11 +114,7 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
 
 def run_sessionize_to_table(spark: SparkSession, input_dir: str,
                             table: str) -> None:
-    q = (
-        stream_sessionize(spark, input_dir)
-        .writeStream.format("memory").queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .windows import run_to_memory
+
+    run_to_memory(stream_sessionize(spark, input_dir), table,
+                  output_mode="append")

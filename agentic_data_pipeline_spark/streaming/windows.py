@@ -157,17 +157,41 @@ def stream_interval_join(spark: SparkSession, input_dir: str,
     )
 
 
+def _scoped_stream_shuffle(spark: SparkSession, n: int = 8):
+    """Context manager: temporarily shrink shuffle partitions for a local
+    availableNow parity run. A stateful stream spins up one state-store
+    instance per shuffle partition per stateful stage; at fixture scale 32
+    of them is pure per-op overhead (measured: stream_tumble 10.2 s → the
+    state machinery, not the data). The number is pinned at query START and
+    recorded in the checkpoint, so a real deployment — which sets its own
+    sizing — is unaffected by this local harness choice."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return scope()
+
+
 def run_to_memory(sdf: DataFrame, table: str,
                   output_mode: str = "complete") -> None:
     """Drive any streaming DataFrame with availableNow into an in-memory
     sink table (the batch-parity harness shared by the stream_* ops)."""
-    q = (
-        sdf.writeStream.format("memory").queryName(table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory").queryName(table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_to_bronze(spark: SparkSession, input_dir: str, lake_dir: str,
@@ -189,13 +213,14 @@ def stream_to_bronze(spark: SparkSession, input_dir: str, lake_dir: str,
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         write_bronze(batch_df, lake_dir, name, mode="append")
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return bronze_path(lake_dir, name)
 
 
@@ -204,14 +229,7 @@ def run_stream_to_table(spark: SparkSession, input_dir: str, table: str,
     """Drive the stream with availableNow (process-everything-then-stop) into
     an in-memory sink table — the batch-parity harness used by tests and the
     stream_tumble verification query."""
-    q = (
-        stream_tumbling_agg(spark, input_dir, window=window)
-        .writeStream.format("memory").queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory(stream_tumbling_agg(spark, input_dir, window=window), table)
 
 
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
