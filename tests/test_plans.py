@@ -241,3 +241,36 @@ def test_similarity_topk_never_partitions_by_query_alone(spark):
     bare = [x for x in parts if "query_id" in x and "__salt" not in x]
     assert salted, p          # phase-1 exchange carries the salt
     assert len(bare) <= 1, p  # phase-2 merge over candidates only
+
+
+# Measured-minimum shuffle counts for the headline bench set (r2). These are
+# CEILINGS: a refactor that adds an exchange to any of these queries is a
+# plan regression and must fail here before it reaches the bench. (Broadcast
+# exchanges are not counted — dims are supposed to broadcast. Nodes are
+# counted from the formatted-explain DETAILS section; the tree section
+# prints every node a second time.)
+HEADLINE_MAX_SHUFFLES = {
+    "q1_pricing_summary": 1,     # partial/final agg; ORDER BY folds into it
+    "q_groupby": 1,
+    "q_join_left": 1,            # pre-join agg shuffle; dims broadcast
+    "q_window_agg": 1,           # one window partition-key shuffle
+    "q_topk": 0,                 # TakeOrderedAndProject only
+    "q_tumble": 1,               # windowed agg
+    "ext_dedup_exact": 1,        # fingerprint agg
+    "ext_text_stats": 0,         # pure map-side projection
+    "ext_docs_to_chunks": 0,     # posexplode + partition-local window
+    "ext_sessionize": 1,         # one user_id shuffle shared by the windows
+    "ext_asof_join": 1,
+    "ext_similarity_topk": 2,    # salted phase-1 + candidate merge
+    "q21_waiting_suppliers": 3,  # fact shuffle + agg + rank
+    "ext_curation_pipeline": 5,  # composed multi-stage pipeline
+}
+
+
+def test_headline_queries_stay_at_measured_minimum_shuffles(spark):
+    import re
+
+    for op_id, ceiling in HEADLINE_MAX_SHUFFLES.items():
+        p = plan_of(spark, op_id)
+        shuffles = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+        assert shuffles <= ceiling, (op_id, shuffles, ceiling)
