@@ -119,3 +119,83 @@ def ext_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("compact", "supplier_compacted")
     compact_parquet(spark, frag, out)
     return spark.read.parquet(out)
+
+
+# ------------------------------------------------------------------ z-order
+
+Z_BITS = 16          # per-dimension bit budget (fixture cardinalities fit)
+Z_BUCKET_SHIFT = 18  # bucket = z >> 18 → per-bucket span < 2^9 in BOTH dims
+
+_Z_TERMS_SQL = " + ".join(
+    f"((((x) >> {i}) & 1) << {2 * i}) + ((((y) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(Z_BITS)
+)
+
+_ZORDER_SQL = f"""
+    WITH b AS (
+        SELECT user_id AS x,
+               (epoch_us(ts) // 3600000000)
+                 - (SELECT MIN(epoch_us(ts) // 3600000000) FROM events) AS y
+        FROM events
+    ), z AS (
+        SELECT x, y, ({_Z_TERMS_SQL}) AS zv FROM b
+    )
+    SELECT zv >> {Z_BUCKET_SHIFT}      AS z_bucket,
+           CAST(COUNT(*) AS BIGINT)    AS n_events,
+           MIN(x) AS u_min, MAX(x) AS u_max,
+           MIN(y) AS h_min, MAX(y) AS h_max
+    FROM z GROUP BY 1
+"""
+
+
+def z_interleave(x, y, bits: int = Z_BITS):
+    """Morton/Z-value: interleave the low `bits` of two non-negative ints
+    (x → even bit positions, y → odd). Pure codegen integer arithmetic —
+    the identical expression tree the oracle SQL spells, so the two
+    engines agree bit-for-bit."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1))
+                           .cast("bigint"), 2 * i)
+             + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1))
+                           .cast("bigint"), 2 * i + 1))
+    return z
+
+
+@op("ext_zorder_cluster", oracle=_ZORDER_SQL)
+def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering report over (user_id, event-hour) —
+    the lake-layout op behind multi-dimensional data skipping (Delta's
+    OPTIMIZE ZORDER BY, Hudi clustering): sort/bucket rows by interleaved
+    bits of both columns and file-level min/max stats become tight in BOTH
+    dimensions at once, so a scan filtered on either column prunes files.
+
+    The report emits per-z-bucket row counts and min/max spans; the curve
+    guarantees every bucket spans < 2^(Z_BUCKET_SHIFT/2) distinct values
+    per dimension (bits above the bucket cut are frozen) — the property
+    pytest asserts and the reason skipping works.
+
+    Scale shape: one map pass computes z (32 integer ops, codegen), one
+    shuffle groups by bucket — and in a real table rewrite the same z
+    expression feeds `repartitionByRange(z).sortWithinPartitions(z)` +
+    parquet write, which is exactly how OPTIMIZE ZORDER materializes. The
+    16-bit budget covers the fixture cardinalities; at production
+    cardinality the inputs are first range-binned to 2^16 quantile buckets
+    (one extra approx-quantile pass), which preserves the curve property.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", ts_us_long(ev))
+    hour_abs = F.expr("__us div 3600000000")
+    mn = ev.agg(F.min(hour_abs).alias("__mn"))
+    b = (ev.crossJoin(F.broadcast(mn))
+         .select(C("user_id").alias("x"),
+                 (hour_abs - C("__mn")).alias("y")))
+    z = z_interleave(C("x"), C("y"))
+    return (
+        b.select("x", "y", z.alias("zv"))
+        .groupBy(F.shiftright(C("zv"), Z_BUCKET_SHIFT).alias("z_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("x").alias("u_min"), F.max("x").alias("u_max"),
+             F.min("y").alias("h_min"), F.max("y").alias("h_max"))
+    )

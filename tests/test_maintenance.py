@@ -107,3 +107,21 @@ def test_ingest_new_formats_error_contract(spark, tmp_path):
         ingest(spark, str(tmp_path / "nope.orc"), "orc")
     with pytest.raises(RuntimeError):
         ingest(spark, str(tmp_path / "x"), "avro-nope")
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The z-curve invariant that makes data skipping work: freezing z bits
+    >= Z_BUCKET_SHIFT freezes all but the low ceil(shift/2) bits of EACH
+    dimension, so every bucket's span is < 2^9 in user_id AND in hour —
+    provable, not statistical."""
+    from agentic_data_pipeline_spark.operators.cdc import ext_zorder_cluster
+
+    rows = ext_zorder_cluster(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["u_max"] - r["u_min"] < 512, r
+        assert r["h_max"] - r["h_min"] < 512, r
+    # buckets jointly cover all events
+    from agentic_data_pipeline_spark.catalog import load_table
+    assert sum(r["n_events"] for r in rows) == \
+        load_table(spark, SF_SMOKE, "events").count()
