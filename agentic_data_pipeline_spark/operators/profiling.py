@@ -157,3 +157,75 @@ def ext_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / ((C("c1") / C("n_uni"))
                                       * (C("c2") / C("n_uni")))), 6)
                     .alias("pmi")))
+
+
+RARE_DENOM = 256  # bigram is "rare" when P(w2|w1) < 1/256, tested in integers
+
+
+@op("ext_rare_bigrams", oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+        FROM documents
+    ), big AS (
+        SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(w))) AS g(i)
+    ), dc AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS dn FROM big GROUP BY 1, 2, 3
+    ), bc AS (
+        SELECT w1, w2, SUM(dn) AS c FROM dc GROUP BY 1, 2
+    ), uc AS (
+        SELECT w1, SUM(c) AS cu FROM bc GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.dn) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN bc.c * {RARE_DENOM} < uc.cu
+                         THEN d.dn ELSE 0 END) AS BIGINT) AS n_rare,
+           ROUND(CAST(SUM(CASE WHEN bc.c * {RARE_DENOM} < uc.cu
+                               THEN d.dn ELSE 0 END) AS DOUBLE)
+                 / SUM(d.dn), 6) AS rare_ratio
+    FROM dc d
+    JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+    JOIN uc ON uc.w1 = d.w1
+    GROUP BY 1
+""")
+def ext_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-bigram density: per document, the fraction of bigram tokens
+    whose corpus conditional probability P(w2|w1) is below 1/RARE_DENOM —
+    the surprisal-family quality/novelty filter (the cheap stand-in for
+    LM-perplexity filtering in training-data curation; high rare-ratio docs
+    are gibberish/OCR noise candidates, zero-rare docs are boilerplate).
+
+    Rarity is decided in INTEGER arithmetic (c * 256 < cu), never via
+    floats or logs, so the flag — and therefore the whole result — is
+    bit-identical across engines; the only float is one final division.
+
+    Shape at scale: per-doc bigrams pre-aggregate to (doc, w1, w2, dn)
+    before any join (shrinks the join input to distinct-bigrams-per-doc);
+    the corpus stats tables (bc, uc) derive from ONE aggregation subtree
+    and join back by key — Catalyst broadcasts them when small, and at
+    100 TB they become bucketed stats tables exactly like the tfidf
+    document-frequency side (text.py:208).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), r"[^a-z0-9]+", " ")),
+        r"\s+")
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x as w1, w[i + 1] as w2))")
+    big = (docs.select("doc_id", words.alias("w"))
+           .filter(F.size("w") > 1)
+           .select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", C("p.w1").alias("w1"), C("p.w2").alias("w2")))
+    dc = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("dn"))
+    bc = dc.groupBy("w1", "w2").agg(F.sum("dn").alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("cu"))
+    rare_dn = F.when(C("c") * RARE_DENOM < C("cu"), C("dn")).otherwise(F.lit(0))
+    return (
+        dc.join(bc, ["w1", "w2"]).join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(F.sum("dn").alias("n_bigrams"),
+             F.sum(rare_dn).alias("n_rare"),
+             F.round(F.sum(rare_dn).cast("double") / F.sum("dn"), 6)
+             .alias("rare_ratio"))
+    )
