@@ -199,3 +199,35 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("x").alias("u_min"), F.max("x").alias("u_max"),
              F.min("y").alias("h_min"), F.max("y").alias("h_max"))
     )
+
+
+@op("ext_scd2_history", oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS valid_to_us,
+           value
+    FROM events
+""")
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: each event becomes a version row with a
+    [valid_from, valid_to) interval; the current version carries NULL
+    valid_to. The temporal-versioning twin of ext_latest_by_key (which
+    keeps only the final version) — together they are the two standard
+    materializations of a CDC stream into a warehouse.
+
+    Shape at scale: one shuffle on the entity key and a per-key sort for
+    the LEAD window — the minimum any interval construction needs; at
+    100 TB the events table is range-partitioned by ingest day, so the
+    window runs per (key) inside each day-partition batch and intervals
+    spanning batch boundaries are stitched by the merge_upsert path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("valid_from_us", ts_us_long(ev))
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return ev.select(
+        "user_id", "event_id", "valid_from_us",
+        F.lead("valid_from_us").over(w).alias("valid_to_us"),
+        "value",
+    )
