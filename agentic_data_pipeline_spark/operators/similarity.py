@@ -554,3 +554,60 @@ def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster_id int, centroid_norm double"),
             "cluster_id")
     )
+
+
+def similarity_topk_batch(index: DataFrame, queries: dict[int, list[float]],
+                          k: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Multi-query exact cosine top-k via one Arrow/numpy matmul per batch.
+
+    The query-set twin of vector_search_batch: each Arrow batch is scored
+    against ALL queries in a single (n x d) @ (d x Q) BLAS product and
+    reduced to a per-(batch, query) top-k, so the exchange carries at most
+    Q x k rows per batch; the final ranking is a window over that small
+    candidate set only — the same no-full-corpus-partitioning property
+    batch_topk gives the JVM path. BLAS advantage grows with dim (384-1536
+    for real embedding models) and with Q (one pass, not Q passes).
+    """
+    qids = sorted(queries)
+    qm = np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids]).T
+    qn = np.linalg.norm(qm, axis=0)                       # (Q,)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ qm) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid                          # exclude self
+                cand_ids, cand = ids[mask], col[mask]
+                top = np.argsort(-cand)[:k]
+                out_q += [qid] * len(top)
+                out_id += list(cand_ids[top])
+                out_s += list(np.round(cand[top], 6))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
+                                "sim": out_s})
+
+    cand = index.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, sim double")
+    w = Window.partitionBy("query_id").orderBy(C("sim").desc(), C("neighbor_id"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .filter(C("__rn") <= k).drop("__rn"))
+
+
+@op("ext_similarity_topk_batch")  # rows-only: float sum order differs from
+                                  # the JVM fold in the last ulp; pytest
+                                  # asserts 6dp equality with the oracle op
+def ext_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS/mapInPandas twin of ext_similarity_topk (queries 0,1,2,
+    k=5): one matmul scores every corpus batch against the whole query set.
+    Carries the scale story for real embedding dims; pytest pins its
+    results to the oracle-checked JVM path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = {r["vec_id"]: list(r["embedding"])
+          for r in emb.filter(C("vec_id").isin(0, 1, 2)).collect()}
+    return similarity_topk_batch(emb, qs, k=5)

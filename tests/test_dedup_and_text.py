@@ -249,3 +249,18 @@ def test_resize_payload_md5_matches_reference_slice(spark):
         ref = texts[r["asset_id"]].encode()[:n].ljust(n, b"\0")
         assert r["media_md5"] == hashlib.md5(ref).hexdigest(), r["asset_id"]
         assert r["n_bytes"] == n
+
+
+def test_similarity_topk_batch_matches_jvm_path(spark):
+    """The BLAS multi-query top-k must return the same neighbors and
+    6dp-identical sims as the oracle-checked salted JVM path."""
+    from agentic_data_pipeline_spark.operators.similarity import (
+        ext_similarity_topk, ext_similarity_topk_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    jvm = sorted((r["query_id"], r["neighbor_id"], round(r["sim"], 6))
+                 for r in ext_similarity_topk(spark, sf).collect())
+    blas = sorted((r["query_id"], r["neighbor_id"], round(r["sim"], 6))
+                  for r in ext_similarity_topk_batch(spark, sf).collect())
+    assert jvm == blas
