@@ -169,3 +169,101 @@ def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_SQL = """
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 1 AS step, 'view' AS event_type,
+               CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 2, 'click',    CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    )
+"""
+
+
+@op("ext_funnel", oracle=_FUNNEL_SQL)
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): users counted at
+    step k must have performed step k strictly AFTER their first completion
+    of step k-1 — the product-analytics op every event warehouse grows.
+
+    Shape at scale: each stage is one aggregation on user_id reusing the
+    SAME key partitioning (Catalyst plans the s1→s2→s3 chain as joins on
+    the user_id exchange already in place — no new shuffle per stage), and
+    the stage tables shrink monotonically (funnel property), so cost is
+    dominated by the first events scan. The 3-row result is three scalar
+    counts unioned driver-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("us", ts_us_long(ev))
+    stage = None
+    counts = []
+    for step, evt in enumerate(FUNNEL_STEPS, start=1):
+        part = ev.filter(C("event_type") == evt).select("user_id", "us")
+        if stage is not None:
+            part = (part.join(stage, "user_id")
+                    .filter(C("us") > C("prev_t"))
+                    .select("user_id", "us"))
+        stage = part.groupBy("user_id").agg(F.min("us").alias("prev_t"))
+        counts.append(
+            stage.agg(F.lit(step).alias("step"),
+                      F.lit(evt).alias("event_type"),
+                      F.count(F.lit(1)).alias("n_users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@op("ext_retention", oracle="""
+    WITH fd AS (
+        SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS d0
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(epoch(fd.d0) AS BIGINT)                              AS cohort_epoch,
+           CAST(date_diff('day', fd.d0, DATE_TRUNC('day', e.ts)) AS INT)
+                                                                     AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT)                 AS n_users
+    FROM events e JOIN fd ON fd.user_id = e.user_id
+    GROUP BY 1, 2
+""")
+def ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (cohort),
+    counted as retained for every later day they produce any event — the
+    other canonical product-analytics aggregation beside ext_funnel.
+
+    Shape at scale: the first-seen table is ONE aggregation on user_id;
+    the events⋈first_day join reuses that user_id partitioning, and the
+    final COUNT(DISTINCT user) per (cohort, offset) is a two-phase
+    aggregate. Cohort tables are (days × offsets) tiny — the output never
+    scales with event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", ts_us_timestamp(ev))
+    with_day = ev.select("user_id", day.alias("d"))
+    fd = with_day.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        with_day.join(fd, "user_id")
+        .groupBy(
+            F.unix_timestamp("d0").cast("bigint").alias("cohort_epoch"),
+            F.datediff(C("d"), C("d0")).cast("int").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -90,7 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_embedding", "ext_ann_ivf", "vector_search_batch", "ext_ann_pq",
     "ext_ann_lsh", "ext_kmeans_clusters",
     "ext_zorder_cluster", "ext_rare_bigrams", "ext_scd2_history",
-    "ext_similarity_topk_batch",
+    "ext_similarity_topk_batch", "ext_funnel", "ext_retention",
 )
 
 
