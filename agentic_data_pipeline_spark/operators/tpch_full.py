@@ -550,17 +550,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: instead of two correlated probes per line, the correlation
     decorrelates into ONE linear pass: collapse lines to (order, supplier,
-    any_late) — the aggregation rides the orderkey partitioning the join
-    already produced, so no new exchange — then per-order supplier counts
-    come from window functions over the SAME partitioning (again no
-    exchange). A supplier qualifies on an order iff the order has >1
-    supplier and exactly 1 late supplier (itself, necessarily). The oracle
-    keeps the literal EXISTS/NOT-EXISTS spelling, so parity also proves
-    the decorrelation equivalent. Net: the orderkey join's shuffle is the
-    ONLY fact-sized exchange in the whole query (an earlier version fed
-    the joined lines to two consumers — per-order aggregate + late-line
-    probe — and Spark's subtree recomputation made it 3.4× slower than
-    this form at sf0.1); supplier broadcasts at the end.
+    any_late), then per-order supplier counts come from window functions. A
+    supplier qualifies on an order iff the order has >1 supplier and
+    exactly 1 late supplier (itself, necessarily). The oracle keeps the
+    literal EXISTS/NOT-EXISTS spelling, so parity also proves the
+    decorrelation equivalent.
+
+    The orders side BROADCASTS (it's the filtered small side), so the join
+    output keeps the scan's file partitioning — without help the
+    (order, supplier) aggregate and the per-order window would each add
+    their own exchange. The explicit ``repartition("l_orderkey")`` makes
+    ONE hash(orderkey) exchange serve both: hash(orderkey) satisfies the
+    clustered distribution of the (orderkey, suppkey) aggregate AND the
+    window, so the whole collapse→flags chain is exchange-free after it.
+    Measured at sf0.1: 3 shuffles → 2, 1.05 s → 0.72 s, identical rows.
+    (An earlier version fed the joined lines to two consumers and subtree
+    recomputation made it 3.4× slower still; supplier broadcasts at the
+    end.)
     """
     orders = (load_table(spark, sf_dir, "orders")
               .filter(C("o_orderstatus") == "F")
@@ -570,6 +576,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (C("l_shipdate") > C("o_orderdate")
             + F.expr("INTERVAL 60 DAYS")).cast("int")
     per_os = (li.join(orders, C("o_orderkey") == C("l_orderkey"))
+              .repartition("l_orderkey")
               .groupBy("l_orderkey", "l_suppkey")
               .agg(F.max(late).alias("s_late")))
     w = Window.partitionBy("l_orderkey")
