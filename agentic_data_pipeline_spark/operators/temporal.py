@@ -205,32 +205,39 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     step k must have performed step k strictly AFTER their first completion
     of step k-1 — the product-analytics op every event warehouse grows.
 
-    Shape at scale: each stage is one aggregation on user_id reusing the
-    SAME key partitioning (Catalyst plans the s1→s2→s3 chain as joins on
-    the user_id exchange already in place — no new shuffle per stage), and
-    the stage tables shrink monotonically (funnel property), so cost is
-    dominated by the first events scan. The 3-row result is three scalar
-    counts unioned driver-free.
+    Shape at scale: ONE hash(user_id) exchange serves the whole funnel —
+    each step's first-completion time is a conditional MIN window over the
+    same user partition (t2's window predicate references the t1 column
+    computed one select earlier: three Window passes, zero new exchanges,
+    all codegen), then one per-user collapse (no exchange — same
+    partitioning) and one scalar count row exploded to the 3-step table.
+    A first draft chained stage-join-stage aggregates through a UNION and
+    re-computed the events subtree per branch — 9 exchanges and 6 scans;
+    this form measures 2 exchanges and 1 scan with identical results (the
+    repo's feed-one-subtree-to-two-consumers lesson, again).
     """
     ev = load_table(spark, sf_dir, "events")
-    ev = ev.withColumn("us", ts_us_long(ev))
-    stage = None
-    counts = []
-    for step, evt in enumerate(FUNNEL_STEPS, start=1):
-        part = ev.filter(C("event_type") == evt).select("user_id", "us")
-        if stage is not None:
-            part = (part.join(stage, "user_id")
-                    .filter(C("us") > C("prev_t"))
-                    .select("user_id", "us"))
-        stage = part.groupBy("user_id").agg(F.min("us").alias("prev_t"))
-        counts.append(
-            stage.agg(F.lit(step).alias("step"),
-                      F.lit(evt).alias("event_type"),
-                      F.count(F.lit(1)).alias("n_users")))
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    return out
+    ev = (ev.withColumn("us", ts_us_long(ev))
+          .filter(C("event_type").isin(*FUNNEL_STEPS))
+          .select("user_id", "event_type", "us"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(C("event_type") == FUNNEL_STEPS[0], C("us"))).over(w)
+    per_user = ev.withColumn("t1", t1)
+    t2 = F.min(F.when((C("event_type") == FUNNEL_STEPS[1])
+                      & (C("us") > C("t1")), C("us"))).over(w)
+    per_user = per_user.withColumn("t2", t2)
+    t3 = F.min(F.when((C("event_type") == FUNNEL_STEPS[2])
+                      & (C("us") > C("t2")), C("us"))).over(w)
+    per_user = per_user.withColumn("t3", t3)
+    flags = (per_user.groupBy("user_id")
+             .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+                  F.first("t3").alias("t3")))
+    totals = flags.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"))
+    return totals.select(F.expr(
+        "stack(3, 1, '{0}', c1, 2, '{1}', c2, 3, '{2}', c3) "
+        "AS (step, event_type, n_users)".format(*FUNNEL_STEPS)))
 
 
 @op("ext_retention", oracle="""
@@ -250,18 +257,18 @@ def ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted as retained for every later day they produce any event — the
     other canonical product-analytics aggregation beside ext_funnel.
 
-    Shape at scale: the first-seen table is ONE aggregation on user_id;
-    the events⋈first_day join reuses that user_id partitioning, and the
-    final COUNT(DISTINCT user) per (cohort, offset) is a two-phase
-    aggregate. Cohort tables are (days × offsets) tiny — the output never
-    scales with event volume.
+    Shape at scale: the first-seen day is a MIN window over the user
+    partition — no self-join, no second scan (the join spelling recomputed
+    the events subtree for both join sides: 3 exchanges; this form is 2 —
+    the user window + the final two-phase COUNT DISTINCT). Cohort tables
+    are (days × offsets) tiny — the output never scales with event volume.
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", ts_us_timestamp(ev))
     with_day = ev.select("user_id", day.alias("d"))
-    fd = with_day.groupBy("user_id").agg(F.min("d").alias("d0"))
+    d0 = F.min("d").over(Window.partitionBy("user_id"))
     return (
-        with_day.join(fd, "user_id")
+        with_day.withColumn("d0", d0)
         .groupBy(
             F.unix_timestamp("d0").cast("bigint").alias("cohort_epoch"),
             F.datediff(C("d"), C("d0")).cast("int").alias("day_offset"))
