@@ -187,10 +187,19 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.withColumn("__us", ts_us_long(ev))
     hour_abs = F.expr("__us div 3600000000")
-    mn = ev.agg(F.min(hour_abs).alias("__mn"))
-    b = (ev.crossJoin(F.broadcast(mn))
-         .select(C("user_id").alias("x"),
-                 (hour_abs - C("__mn")).alias("y")))
+    # One tiny agg gives the hour offset AND guards the bit budget: the
+    # interleave silently drops bits above Z_BITS, which would collapse
+    # distant keys into one bucket — fail loudly instead and point at the
+    # range-binning fallback (approx-quantile → 2^Z_BITS bins).
+    st = ev.agg(F.min(hour_abs).alias("mn"), F.max(hour_abs).alias("mx_h"),
+                F.max("user_id").alias("mx_u")).collect()[0]
+    if st["mx_u"] >= (1 << Z_BITS) or (st["mx_h"] - st["mn"]) >= (1 << Z_BITS):
+        raise ValueError(
+            f"zorder inputs exceed the {Z_BITS}-bit budget "
+            f"(max user_id={st['mx_u']}, hour span={st['mx_h'] - st['mn']}); "
+            "range-bin both dimensions to 2^Z_BITS quantile buckets first")
+    b = ev.select(C("user_id").alias("x"),
+                  (hour_abs - F.lit(st["mn"])).alias("y"))
     z = z_interleave(C("x"), C("y"))
     return (
         b.select("x", "y", z.alias("zv"))

@@ -40,17 +40,44 @@ def _sf_scratch(sf_dir: str, *parts: str) -> str:
     return _scratch(tag, *parts)
 
 
-def _materialize_once(path: str, write_fn) -> str:
-    """Run `write_fn` only when `path` isn't already materialized.
+def _lake_fp(sf_dir: str, *tables: str) -> str:
+    """Fingerprint of the source parquet(s) feeding a scratch write:
+    mtime_ns + size per file. The lake is regenerated between rounds under
+    the SAME paths (events.ts schema flipped once already), so cached
+    scratch keyed on basename alone would silently serve stale prior-round
+    bytes while the DuckDB oracle reads the fresh lake."""
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
 
-    The fixture lake is immutable within a round, so ingest round-trip ops
-    pay their scratch-write Spark jobs once per (tier, format) — not once
-    per driver correctness check. Distributed writes leave a _SUCCESS
-    marker; driver-side writers produce a plain file.
+
+def _materialize_once(path: str, write_fn, fingerprint: str = "") -> str:
+    """Run `write_fn` unless `path` is already materialized FROM THE SAME
+    SOURCE BYTES (sidecar `<path>.fpr` records the `_lake_fp` of the inputs).
+
+    Ingest round-trip ops pay their scratch-write Spark jobs once per
+    (tier, format) per lake generation — not once per driver check — and a
+    regenerated lake invalidates the cache automatically. The sidecar is
+    written LAST via os.replace, so a crash mid-write (partial xlsx, half
+    a PDF set) leaves no valid-looking marker and the next call rewrites.
     """
-    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
-            or os.path.isfile(path)):
-        write_fn()
+    sidecar = path + ".fpr"
+    done = (os.path.exists(os.path.join(path, "_SUCCESS"))
+            or os.path.isfile(path))
+    if done and os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            if f.read() == fingerprint:
+                return path
+    if os.path.isfile(sidecar):  # stale: invalidate before rewriting
+        os.remove(sidecar)
+    write_fn()
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fingerprint)
+    os.replace(tmp, sidecar)
     return path
 
 
@@ -66,7 +93,8 @@ def ingest_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     path = _sf_scratch(sf_dir, "ingest_csv", "customer.csv")
     _materialize_once(path, lambda: cust.write.mode("overwrite")
-                      .option("header", "true").csv(path))
+                      .option("header", "true").csv(path),
+                      _lake_fp(sf_dir, "customer"))
     return ingest(spark, path, "csv", schema=cust.schema)
 
 
@@ -75,7 +103,8 @@ def ingest_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → JSON-lines files → distributed JSON read with schema."""
     nation = load_table(spark, sf_dir, "nation")
     path = _sf_scratch(sf_dir, "ingest_json", "nation.json")
-    _materialize_once(path, lambda: nation.write.mode("overwrite").json(path))
+    _materialize_once(path, lambda: nation.write.mode("overwrite").json(path),
+                      _lake_fp(sf_dir, "nation"))
     return ingest(spark, path, "json", schema=nation.schema)
 
 
@@ -89,7 +118,8 @@ def ingest_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part")
     path = _sf_scratch(sf_dir, "ingest_orc", "part.orc")
-    _materialize_once(path, lambda: part.write.mode("overwrite").orc(path))
+    _materialize_once(path, lambda: part.write.mode("overwrite").orc(path),
+                      _lake_fp(sf_dir, "part"))
     return ingest(spark, path, "orc", schema=part.schema)
 
 
@@ -104,7 +134,8 @@ def ingest_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     path = _sf_scratch(sf_dir, "ingest_text", "documents.txt")
     _materialize_once(path, lambda: docs.select("text")
-                      .write.mode("overwrite").text(path))
+                      .write.mode("overwrite").text(path),
+                      _lake_fp(sf_dir, "documents"))
     return ingest(spark, path, "text")
 
 
@@ -122,14 +153,16 @@ def ingest_excel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _sf_scratch(sf_dir, "ingest_excel", "supplier.xlsx")
 
     def write() -> None:
+        tmp = path + ".part.xlsx"  # keep .xlsx: to_excel picks engine by ext
         try:
             import openpyxl  # noqa: F401
 
-            supp.toPandas().to_excel(path, index=False)
+            supp.toPandas().to_excel(tmp, index=False)
         except ImportError:
-            write_xlsx(supp.toPandas(), path)
+            write_xlsx(supp.toPandas(), tmp)
+        os.replace(tmp, path)  # never expose a half-written workbook
 
-    _materialize_once(path, write)
+    _materialize_once(path, write, _lake_fp(sf_dir, "supplier"))
     return ingest(spark, path, "excel", schema=supp.schema)
 
 
@@ -181,7 +214,7 @@ def ingest_pdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       os.path.join(pdf_dir, f"doc_{r['doc_id']}.pdf"))
         open(marker, "w").close()
 
-    _materialize_once(marker, write)
+    _materialize_once(marker, write, _lake_fp(sf_dir, "documents"))
     out = ingest(spark, pdf_dir, "pdf")
     return out.select(
         F.element_at(F.split(C("path"), "/"), -1).alias("file"),

@@ -584,11 +584,14 @@ def similarity_topk_batch(index: DataFrame, queries: dict[int, list[float]],
             for j, qid in enumerate(qids):
                 col = sims[:, j]
                 mask = ids != qid                          # exclude self
-                cand_ids, cand = ids[mask], col[mask]
-                top = np.argsort(-cand)[:k]
+                cand_ids, cand = ids[mask], np.round(col[mask], 6)
+                # Select on the ROUNDED sim with neighbor_id tiebreak — the
+                # exact ordering the final window ranks by; selecting on raw
+                # floats could drop a rounded-tie candidate at the k edge.
+                top = np.lexsort((cand_ids, -cand))[:k]
                 out_q += [qid] * len(top)
                 out_id += list(cand_ids[top])
-                out_s += list(np.round(cand[top], 6))
+                out_s += list(cand[top])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_id,
                                 "sim": out_s})
 

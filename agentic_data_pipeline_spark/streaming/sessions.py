@@ -94,12 +94,12 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
     armed, availableNow keeps scheduling state-cleanup micro-batches and a
     bounded run never terminates (observed: 140+ empty epochs).
     """
-    from .windows import EVENTS_SCHEMA
+    from .windows import events_stream
 
     tune(spark)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        events_stream(spark, input_dir)
+        .withColumn("ts_us", F.unix_micros(F.col("ts_us")))
         .select("user_id", "ts_us", "value")
     )
     return stream.groupBy("user_id").applyInPandasWithState(

@@ -27,7 +27,27 @@ EVENTS_SCHEMA = StructType([
     StructField("event_type", StringType(), True),
     StructField("value", DoubleType(), True),
     StructField("props", StringType(), True),
-])
+])  # fixture-writer schema for tests; live reads sniff the footer instead
+
+
+def events_stream(spark: SparkSession, input_dir: str,
+                  raw: bool = False) -> DataFrame:
+    """Streaming read of an events directory, schema taken from the input's
+    own parquet footer (readStream needs an explicit schema; a hard-coded
+    one breaks whenever the lake flips `ts` between INT64-nanos and
+    TIMESTAMP — it has flipped once already). Unless ``raw``, adds `ts_us`,
+    the same µs-precision normalization the batch path uses
+    (catalog.ts_us_timestamp), so stream ops never care which variant
+    shipped.
+    """
+    from ..catalog import ts_us_timestamp
+
+    tune(spark)  # nanosAsLong must be set before the footer sniff
+    batch = spark.read.parquet(input_dir)  # footer read only — no job runs
+    stream = spark.readStream.schema(batch.schema).parquet(input_dir)
+    if raw:
+        return stream
+    return stream.withColumn("ts_us", ts_us_timestamp(stream))
 
 
 def stream_tumbling_agg(spark: SparkSession, input_dir: str,
@@ -39,12 +59,7 @@ def stream_tumbling_agg(spark: SparkSession, input_dir: str,
     finalize and evict — the knob that keeps a 100 TB/day stream's state
     finite. Output mirrors q_tumble (epoch-second buckets).
     """
-    tune(spark)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-        .withColumn("ts_us", F.col("ts").cast("timestamp"))
-        .withWatermark("ts_us", watermark)
-    )
+    stream = events_stream(spark, input_dir).withWatermark("ts_us", watermark)
     return (
         stream.groupBy(F.window("ts_us", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value").alias("sum_value"))
@@ -64,12 +79,7 @@ def stream_sliding_agg(spark: SparkSession, input_dir: str,
     (#open windows × #groups), i.e. overlap factor × the tumbling state —
     the overlap factor, not the data volume, is the knob.
     """
-    tune(spark)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
-        .withColumn("ts_us", F.col("ts").cast("timestamp"))
-        .withWatermark("ts_us", watermark)
-    )
+    stream = events_stream(spark, input_dir).withWatermark("ts_us", watermark)
     return (
         stream.groupBy(F.window("ts_us", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value").alias("sum_value"))
@@ -88,8 +98,7 @@ def stream_distinct(spark: SparkSession, input_dir: str) -> DataFrame:
     only-within-horizon exactness); for bounded/availableNow runs the exact
     form is right and matches SELECT DISTINCT bit-for-bit.
     """
-    tune(spark)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    stream = events_stream(spark, input_dir, raw=True)
     return stream.select("user_id", "event_type").dropDuplicates()
 
 
@@ -109,7 +118,7 @@ def stream_static_enrich(spark: SparkSession, input_dir: str,
     ).join(nation.select("n_nationkey", "n_name"),
            F.col("c_nationkey") == F.col("n_nationkey")) \
         .select("user_id", F.col("n_name").alias("nation"))
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    stream = events_stream(spark, input_dir, raw=True)
     return (
         stream.join(F.broadcast(dim), "user_id")
         .groupBy("nation", "event_type")
@@ -136,12 +145,11 @@ def stream_interval_join(spark: SparkSession, input_dir: str,
 
     def side(evt: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+            events_stream(spark, input_dir)
             .filter(F.col("event_type") == evt)
             .select(F.col("event_id").alias(f"{prefix}_id"),
                     F.col("user_id").alias(f"{prefix}_user"),
-                    F.col("ts").cast("timestamp")
-                    .alias(f"{prefix}_ts"))
+                    F.col("ts_us").alias(f"{prefix}_ts"))
             .withWatermark(f"{prefix}_ts", watermark)
         )
 
@@ -207,8 +215,7 @@ def stream_to_bronze(spark: SparkSession, input_dir: str, lake_dir: str,
 
     from ..sources.bronze import bronze_path, write_bronze
 
-    tune(spark)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    stream = events_stream(spark, input_dir, raw=True)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         write_bronze(batch_df, lake_dir, name, mode="append")
