@@ -19,7 +19,15 @@ BASELINE.md):
   DuckDB side's `PREPARE`-trivial parse cost is not what its numbers measure.
 - Three untimed global warm-up passes (JIT C2 compilation keeps lowering
   latencies for the first ~2 passes; measured drift > any conf knob), then
-  best-of-3 timed runs per query.
+  TIMED_RUNS full passes; per-query time is best-across-passes and every
+  per-pass total is reported (interleaving passes spreads host-load noise
+  across all queries instead of concentrating it on one).
+- Self-proving artifact (VERDICT r2 §next-2): the JSON embeds
+  os.getloadavg() (r2's 17% "regression" was host load 3-4, provable then
+  only from prose), the per-pass totals, and the paired DuckDB-twin run
+  from the SAME invocation with the Spark/DuckDB ratio over the
+  oracle-covered queries — a reader of the artifact alone can now separate
+  host noise from real regressions.
 
 This measures steady-state query latency — the same thing the DuckDB
 baseline (scripts/bench_duckdb.py, in-memory connection, OS-cached parquet)
@@ -84,22 +92,68 @@ def main() -> None:
         for name in HEADLINE:
             run(name)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(min(run(name) for _ in range(TIMED_RUNS)), 3)
+    passes = [{name: run(name) for name in HEADLINE}
+              for _ in range(TIMED_RUNS)]
+    timings = {name: round(min(p[name] for p in passes), 3)
+               for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+
+    duck_queries, ratio = {}, None
+    try:
+        duck_queries = duckdb_twin(sf_dir)
+        covered = [n for n in HEADLINE if n in duck_queries]
+        spark_cov = sum(timings[n] for n in covered)
+        duck_cov = sum(duck_queries[n] for n in covered)
+        if duck_cov > 0:
+            ratio = round(spark_cov / duck_cov, 3)
+    except Exception:  # noqa: BLE001 — the twin must never break the contract
+        pass
+
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_timed_passes": TIMED_RUNS,
+        "pass_totals_sec": [round(sum(p.values()), 3) for p in passes],
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        "duckdb_twin_sec": duck_queries,
+        "duckdb_twin_total_sec": round(sum(duck_queries.values()), 3),
+        "spark_over_duckdb_ratio": ratio,
     }))
+
+
+def duckdb_twin(sf_dir: str) -> dict[str, float]:
+    """Paired DuckDB baseline from the same invocation: each headline op's
+    oracle SQL (exact semantics twin) on the same parquet, warm cache,
+    best-of-2 — mirrors scripts/bench_duckdb.py."""
+    import time
+
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+    from tests.parity_util import duck_connect
+
+    _ensure_loaded()
+    con = duck_connect(sf_dir)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        oracle = OPS[name].oracle
+        if oracle is None:
+            continue
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            con.execute(oracle).fetchall()
+            return time.perf_counter() - t0
+
+        one()  # warm-up (parse + page cache)
+        timings[name] = round(min(one(), one()), 3)
+    return timings
 
 
 if __name__ == "__main__":
