@@ -194,20 +194,33 @@ def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("ext_resize")  # rows-only: NUL padding is not expressible in DuckDB varchar
+@op("ext_resize", oracle="""
+    SELECT doc_id                  AS asset_id,
+           CAST(16 AS INT)         AS width,
+           CAST(16 AS INT)         AS height,
+           CAST(256 AS BIGINT)     AS n_bytes,
+           md5(substring(text, 1, 256)) AS content_md5
+    FROM documents
+""")
 def ext_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch image-resize shape registered end-to-end: binary assets →
     resize_images (Arrow-batched mapInPandas; stubbed kernel pads/truncates
-    to width×height bytes) → size/shape summary. Pytest covers the
-    deterministic payload invariants; the driver checks schema stability.
+    to width×height bytes) → size/shape summary.
+
+    Oracle-checked on every SQL-expressible invariant: width/height,
+    padded size, and the md5 of the NUL-stripped content (truncation of
+    ASCII fixture text == substring, so DuckDB can replay it). The md5 of
+    the full NUL-padded payload — not expressible in DuckDB varchar — is
+    pinned by pytest (tests/test_dedup_and_text.py).
     """
     assets = documents_as_assets(spark, sf_dir)
     resized = resize_images(assets, width=16, height=16)
+    stripped = F.regexp_replace(F.decode(C("media"), "utf-8"), "\x00+$", "")
     return resized.select(
         "asset_id", "width", "height",
         F.octet_length(C("media")).alias("n_bytes"),
-        F.md5(C("media")).alias("media_md5"),
-    ).orderBy("asset_id")
+        F.md5(F.encode(stripped, "utf-8")).alias("content_md5"),
+    )
 
 
 @op("ext_multimodal", oracle="""

@@ -56,41 +56,47 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # locally pytest-verified either way). Maintained by hand each round from
 # CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r1 hard-fail, re-verify first
+    # --- round-3 frontier: the 48 ops with no CORRECTNESS_r01/r02 row yet
+    # (r1+r2 checked 99 of 147; all of these pass parity_sweep at sf0.01).
+    # Extended SQL surface
+    "q_cube", "q_window_nav", "q_window_range", "q_join_full", "q_join_cross",
+    "q_pivot", "q_unpivot", "q_string_agg", "q_percentile", "q_json_funcs",
+    "q_exists", "q_lateral", "q_grouping_sets", "q_variant",
+    # Remaining streaming plane (7/7 stream ops driver-evidenced after this)
+    "stream_sliding", "stream_stream_join", "stream_to_bronze",
+    # Temporal / product analytics
+    "ext_asof_join", "ext_range_join", "ext_gap_fill",
+    "ext_funnel", "ext_retention", "ext_sessionize",
+    # TPC-H shapes
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_priority_by_delay",
+    "q13_order_distribution", "q15_top_supplier", "q16_part_supplier_counts",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    # Sampling / corpus ops
+    "ext_sample_stratified", "ext_train_val_split", "ext_corpus_stats",
+    "ext_domain_mix",
+    # Vector / ANN
+    "ext_dedup_embedding", "ext_ann_ivf", "vector_search_batch", "ext_ann_pq",
+    "ext_ann_lsh", "ext_kmeans_clusters", "ext_similarity_topk_batch",
+    # CDC / lake layout / text (new in r2)
+    "ext_zorder_cluster", "ext_rare_bigrams", "ext_scd2_history",
+    # Upgraded rows-only → oracle this round; re-check for a hash row (= 49)
+    "ext_resize",
+    # --- everything below went green in r1/r2 (CORRECTNESS files); they
+    # stay registered + locally parity-swept and sort after the frontier.
     "ext_inverted_index",
-    # §2.1 concrete reference ops (reference_ops.py) — all unchecked in r1
     "ingest_csv", "ingest_json", "ingest_orc", "ingest_text", "ingest_excel",
     "ingest_pdf", "ingest_error", "write_bronze", "read_bronze", "sql_exec",
     "nl_transform", "nl_fallback", "serve_json", "serve_csv", "viz_bar",
     "preview",
-    # §2.4 rules unchecked in r1
     "rule_remove_outliers", "rule_top_performers",
-    # §2.5 vector ops unchecked in r1
     "vector_index", "vector_search", "ext_similarity_topk",
-    # §2.2 implied SQL surface (the 24 survey rows) — all unchecked in r1
     "q_project", "q_filter", "q_regex_filter", "q_topk", "q_agg", "q_groupby",
     "q_rollup", "q_window_rank", "q_window_agg", "q_join_inner", "q_join_left",
     "q_join_semi", "q_join_anti", "q_union", "q_intersect", "q_except",
     "q_distinct", "q_cte", "q_str_funcs", "q_date_funcs", "q_math_funcs",
     "q_case_when", "q_array_funcs", "q_tumble",
-    # streaming plane — target ≥4 driver rows this round            (= 50)
     "stream_tumble", "stream_dedup", "stream_join", "stream_sessionize",
-    # --- round-3 frontier: everything below here is the next unchecked set
-    "q_cube", "q_window_nav", "q_window_range", "q_join_full", "q_join_cross",
-    "q_pivot", "q_unpivot", "q_string_agg", "q_percentile", "q_json_funcs",
-    "q_exists", "q_lateral", "q_grouping_sets", "q_variant",
-    "stream_sliding", "stream_stream_join", "stream_to_bronze",
-    "ext_asof_join", "ext_range_join", "ext_gap_fill",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_priority_by_delay",
-    "q13_order_distribution", "q15_top_supplier", "q16_part_supplier_counts",
-    "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "ext_sample_stratified", "ext_train_val_split", "ext_corpus_stats",
-    "ext_domain_mix", "ext_sessionize",
-    "ext_dedup_embedding", "ext_ann_ivf", "vector_search_batch", "ext_ann_pq",
-    "ext_ann_lsh", "ext_kmeans_clusters",
-    "ext_zorder_cluster", "ext_rare_bigrams", "ext_scd2_history",
-    "ext_similarity_topk_batch", "ext_funnel", "ext_retention",
 )
 
 

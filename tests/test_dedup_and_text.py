@@ -229,22 +229,29 @@ def test_simhash_candidates_complete_for_hamming_bound(spark):
 
 
 def test_resize_payload_md5_matches_reference_slice(spark):
-    """ext_resize's media_md5 must equal an independently computed md5 of
-    the pad/truncate reference payload for EVERY asset — the stub kernel is
-    value-pinned, not just shape-pinned."""
+    """The resized NUL-padded payload's md5 must equal an independently
+    computed md5 of the pad/truncate reference payload for EVERY asset —
+    the stub kernel is value-pinned, not just shape-pinned. (The op's
+    driver surface carries the NUL-stripped content_md5, which DuckDB can
+    twin; the full padded md5 lives here.)"""
     import hashlib
 
+    from pyspark.sql import functions as F
     from agentic_data_pipeline_spark.catalog import load_table
-    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+    from agentic_data_pipeline_spark.operators.multimodal import (
+        documents_as_assets, resize_images,
+    )
     from tests.conftest import SF_SMOKE
 
-    _ensure_loaded()
-    rows = OPS["ext_resize"].fn(spark, SF_SMOKE).collect()
+    n = 16 * 16
+    resized = resize_images(documents_as_assets(spark, SF_SMOKE), 16, 16)
+    rows = resized.select(
+        "asset_id", F.octet_length("media").alias("n_bytes"),
+        F.md5("media").alias("media_md5")).collect()
     texts = {r["doc_id"]: r["text"] for r in
              load_table(spark, SF_SMOKE, "documents")
              .select("doc_id", "text").collect()}
     assert len(rows) == len(texts)
-    n = 16 * 16
     for r in rows:
         ref = texts[r["asset_id"]].encode()[:n].ljust(n, b"\0")
         assert r["media_md5"] == hashlib.md5(ref).hexdigest(), r["asset_id"]
