@@ -80,7 +80,10 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_chars = F.length("text")
     n_words = F.size(tokens(C("text")))
-    n_punct = F.size(F.regexp_extract_all(C("text"), F.lit(_PUNCT_RE), F.lit(0)))
+    # regexp_count, not size(regexp_extract_all): same integer, one regex
+    # pass, and no per-row array of single-char matches to allocate — this
+    # op is a pure scan-map, so allocation IS its cost at 100 TB.
+    n_punct = F.regexp_count(C("text"), F.lit(_PUNCT_RE))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -135,8 +138,7 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(tokens(C("text"))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(C("text"), F.lit(_TOKEN_RE), F.lit(0)))
-        .alias("bpe_ish_tokens"),
+        F.regexp_count(C("text"), F.lit(_TOKEN_RE)).alias("bpe_ish_tokens"),
     )
 
 
@@ -158,9 +160,7 @@ def quality_expr(text_col: Column) -> Column:
     (identical arithmetic tree → bit-stable across engines)."""
     n_chars = F.length(text_col).cast("double")
     n_words = F.size(tokens(text_col))
-    n_punct = F.size(
-        F.regexp_extract_all(text_col, F.lit(_PUNCT_RE), F.lit(0))
-    ).cast("double")
+    n_punct = F.regexp_count(text_col, F.lit(_PUNCT_RE)).cast("double")
     return (
         F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / n_chars, F.lit(1.0)))

@@ -19,12 +19,16 @@ BASELINE.md):
   DuckDB side's `PREPARE`-trivial parse cost is not what its numbers measure.
 - Three untimed global warm-up passes (JIT C2 compilation keeps lowering
   latencies for the first ~2 passes; measured drift > any conf knob), then
-  TIMED_RUNS full passes; per-query time is best-across-passes and every
-  per-pass total is reported (interleaving passes spreads host-load noise
-  across all queries instead of concentrating it on one).
+  per query: TIMED_RUNS consecutive executions, best-of kept — the SAME
+  methodology as rounds 1-2, which matters: an interleaved-pass variant
+  was tried in r3 and measured ~50% slower per query on an idle box
+  (each run separated by 14 other queries runs on cold JIT/CPU-cache
+  state), which would have made every cross-round comparison read as a
+  phantom regression. A/B on one box, same minute: consecutive 4.35 s
+  total, interleaved 6.89 s.
 - Self-proving artifact (VERDICT r2 §next-2): the JSON embeds
   os.getloadavg() (r2's 17% "regression" was host load 3-4, provable then
-  only from prose), the per-pass totals, and the paired DuckDB-twin run
+  only from prose), all n per-run totals, and the paired DuckDB-twin run
   from the SAME invocation with the Spark/DuckDB ratio over the
   oracle-covered queries — a reader of the artifact alone can now separate
   host noise from real regressions.
@@ -92,10 +96,9 @@ def main() -> None:
         for name in HEADLINE:
             run(name)
 
-    passes = [{name: run(name) for name in HEADLINE}
-              for _ in range(TIMED_RUNS)]
-    timings = {name: round(min(p[name] for p in passes), 3)
-               for name in HEADLINE}
+    runs = {name: [run(name) for _ in range(TIMED_RUNS)]
+            for name in HEADLINE}
+    timings = {name: round(min(r), 3) for name, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
     try:
@@ -120,8 +123,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "n_timed_passes": TIMED_RUNS,
-        "pass_totals_sec": [round(sum(p.values()), 3) for p in passes],
+        "n_timed_runs": TIMED_RUNS,
+        "run_totals_sec": [round(sum(r[i] for r in runs.values()), 3)
+                           for i in range(TIMED_RUNS)],
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "duckdb_twin_sec": duck_queries,
         "duckdb_twin_total_sec": round(sum(duck_queries.values()), 3),
