@@ -163,6 +163,21 @@ def z_interleave(x, y, bits: int = Z_BITS):
     return z
 
 
+def _budget_or_bin(col, mn: int, mx: int, bits: int = Z_BITS):
+    """Shift `col` to a 0-based offset; when the span exceeds the per-dim
+    bit budget, equal-width-bin it onto [0, 2^bits): bin = off // d with
+    d = ceil((span+1) / 2^bits) — a monotonic integer map, so the Morton
+    curve's per-bucket span bound transfers to the bins. d is a driver-side
+    constant; floor(off/d) is exact for offsets < 2^53 (double mantissa),
+    i.e. any realistic key space."""
+    span = mx - mn
+    off = (col - F.lit(mn)).cast("bigint")
+    if span < (1 << bits):
+        return off
+    d = (span + (1 << bits)) >> bits          # ceil((span+1) / 2^bits)
+    return F.floor(off / F.lit(float(d))).cast("bigint")
+
+
 @op("ext_zorder_cluster", oracle=_ZORDER_SQL)
 def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) clustering report over (user_id, event-hour) —
@@ -180,26 +195,31 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle groups by bucket — and in a real table rewrite the same z
     expression feeds `repartitionByRange(z).sortWithinPartitions(z)` +
     parquet write, which is exactly how OPTIMIZE ZORDER materializes. The
-    16-bit budget covers the fixture cardinalities; at production
-    cardinality the inputs are first range-binned to 2^16 quantile buckets
-    (one extra approx-quantile pass), which preserves the curve property.
+    16-bit budget covers the fixture cardinalities; any dimension that
+    exceeds it is equal-width range-binned onto [0, 2^16) first
+    (_budget_or_bin — exact integer arithmetic, order-preserving, so the
+    curve property holds on the bins; tests/test_zorder_binned.py pins
+    the out-of-budget path on synthetic 10^7-cardinality keys).
     """
     ev = load_table(spark, sf_dir, "events")
     ev = ev.withColumn("__us", ts_us_long(ev))
     hour_abs = F.expr("__us div 3600000000")
-    # One tiny agg gives the hour offset AND guards the bit budget: the
+    # One tiny agg gives the offsets AND the bit-budget check: the
     # interleave silently drops bits above Z_BITS, which would collapse
-    # distant keys into one bucket — fail loudly instead and point at the
-    # range-binning fallback (approx-quantile → 2^Z_BITS bins).
-    st = ev.agg(F.min(hour_abs).alias("mn"), F.max(hour_abs).alias("mx_h"),
-                F.max("user_id").alias("mx_u")).collect()[0]
-    if st["mx_u"] >= (1 << Z_BITS) or (st["mx_h"] - st["mn"]) >= (1 << Z_BITS):
-        raise ValueError(
-            f"zorder inputs exceed the {Z_BITS}-bit budget "
-            f"(max user_id={st['mx_u']}, hour span={st['mx_h'] - st['mn']}); "
-            "range-bin both dimensions to 2^Z_BITS quantile buckets first")
-    b = ev.select(C("user_id").alias("x"),
-                  (hour_abs - F.lit(st["mn"])).alias("y"))
+    # distant keys into one bucket. Per-dimension, out-of-budget inputs
+    # fall back to RANGE BINNING: exact equal-width integer scaling onto
+    # [0, 2^Z_BITS) — a monotonic map, so the curve's per-bucket span
+    # guarantee transfers to the bins (production variants may swap in
+    # approx-quantile bins for skewed keys at the cost of determinism;
+    # equal-width keeps the op reproducible and oracle-exact). The fixture
+    # fits the budget, so the driver-checked path is the identity one;
+    # the binned path is value-pinned by tests/test_zorder_binned.py.
+    st = ev.agg(F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
+                F.min(hour_abs).alias("mn_h"), F.max(hour_abs).alias("mx_h"),
+                ).collect()[0]
+    b = ev.select(
+        _budget_or_bin(C("user_id"), st["mn_u"], st["mx_u"]).alias("x"),
+        _budget_or_bin(hour_abs, st["mn_h"], st["mx_h"]).alias("y"))
     z = z_interleave(C("x"), C("y"))
     return (
         b.select("x", "y", z.alias("zv"))
@@ -207,6 +227,48 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("x").alias("u_min"), F.max("x").alias("u_max"),
              F.min("y").alias("h_min"), F.max("y").alias("h_max"))
+    )
+
+
+@op("ext_skew_report", oracle="""
+    WITH k AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)          AS n_keys,
+           CAST(SUM(n) AS BIGINT)            AS n_rows,
+           CAST(MAX(n) AS BIGINT)            AS max_key_rows,
+           ROUND(quantile_cont(n, 0.5), 6)   AS p50_key_rows,
+           ROUND(quantile_cont(n, 0.99), 6)  AS p99_key_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6)
+                                             AS skew_factor
+    FROM k
+""")
+def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics over events.user_id: per-key row
+    counts reduced to n_keys / max / p50 / p99 / skew_factor (max ÷ mean).
+    This is the pre-flight you run BEFORE sizing a shuffle at 100 TB — it
+    tells you whether the key needs salting (ext_salted_join), AQE
+    skew-split thresholds, or nothing. skew_factor ≈ 1 means uniform;
+    ≥ 10 means the hottest key dominates a partition.
+
+    Shape: one partial+final count per key (the same exchange any join on
+    the key would pay — so the report costs what one shuffle costs), then
+    a single-row global aggregate with EXACT interpolated percentiles
+    (percentile/quantile_cont agree across engines; approx variants can't
+    hash-match). At 100 TB run it on a day partition or a deterministic
+    sample (ext_sample_stratified) — skew is a distribution property.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_key_rows"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_key_rows"),
+        F.round(F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"),
+                6).alias("skew_factor"),
     )
 
 

@@ -93,6 +93,26 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+@op("stream_dedup_watermark", oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+""")
+def stream_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with WATERMARK-TTL'd state
+    (dropDuplicatesWithinWatermark) — the unbounded-stream twin of
+    stream_dedup: state rows evict once the horizon passes instead of
+    accumulating forever. Horizon covers the bounded fixture, so the
+    result hash-equals exact SELECT DISTINCT."""
+    from ..streaming.windows import (
+        run_to_memory, stream_distinct_within_watermark,
+    )
+
+    table = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    sdf = stream_distinct_within_watermark(
+        spark, _as_stream_dir(table_path(sf_dir, "events")))
+    run_to_memory(sdf, table, output_mode="append")
+    return spark.table(table)
+
+
 @op("stream_join", oracle="""
     SELECT n.n_name AS nation, e.event_type,
            CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -477,3 +477,75 @@ def ext_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("bigint").alias("n_clean"),
         F.md5(F.encode(clean, "utf-8")).alias("clean_md5"),
     )
+
+
+# ------------------------------------------------------------ BPE training
+
+
+def bpe_merges(docs: DataFrame, text_col: str = "text",
+               n_merges: int = 5) -> list[tuple[int, str, int]]:
+    """Learn the first ``n_merges`` BPE merge rules over a corpus — the
+    iterative-algorithm shape of tokenizer training (the op LLM data
+    pipelines run before any token count means anything).
+
+    Distributed shape per iteration (mirrors k-means / connected
+    components: big distributed step + tiny driver step):
+    1. adjacent symbol pairs per distinct word come from `zip_with` over
+       two slices of the symbol array (pure codegen, no Python, no
+       self-join on positions), weighted by word frequency;
+    2. ONE count-shuffle (map-side combined) reduces to pair totals —
+       the exchange is dictionary-sized (distinct pairs), not corpus-sized;
+    3. the argmax pair (ties broken lexicographically for determinism) is
+       a TakeOrderedAndProject → a 1-row driver fetch;
+    4. the merge applies to the word-frequency table as a regex replace on
+       the space-joined symbol string (left-to-right non-overlapping —
+       exactly classic BPE's application order).
+    The WORD FREQUENCY table (distinct words, not documents) is the loop
+    state — at 100 TB the corpus is touched once to build it; iterations
+    then run on the vocabulary, which is millions of rows, not billions.
+    localCheckpoint would truncate the growing lineage for large n_merges.
+    """
+    import re as _re
+
+    F_ = F
+    norm = F_.trim(F_.regexp_replace(F_.lower(C(text_col)), "[^a-z]+", " "))
+    wf = (docs.select(F_.explode(F_.split(norm, r"\s+")).alias("w"))
+          .filter(C("w") != "")
+          .groupBy("w").agg(F_.count(F_.lit(1)).alias("freq"))
+          # word → space-joined character symbols: "low" → "l o w"
+          .select(F_.array_join(F_.split(C("w"), ""), " ").alias("sym"),
+                  "freq"))
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F_.split(C("sym"), " ")
+        pairs = F_.zip_with(
+            F_.slice(syms, 1, F_.greatest(F_.size(syms) - 1, F_.lit(0))),
+            F_.slice(syms, 2, F_.greatest(F_.size(syms) - 1, F_.lit(0))),
+            lambda a, b: F_.concat_ws(" ", a, b))
+        top = (wf.select(F_.explode(pairs).alias("pair"), "freq")
+               .groupBy("pair").agg(F_.sum("freq").alias("n"))
+               .orderBy(C("n").desc(), C("pair"))
+               .limit(1).collect())
+        if not top:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        merges.append((step, pair, n))
+        a, b = pair.split(" ")
+        # (?<!\S) / (?!\S): symbol-boundary guards that are fixed-width —
+        # valid in Java (Spark) AND Python `re` (the test's reference impl)
+        pat = rf"(?<!\S){_re.escape(a)} {_re.escape(b)}(?!\S)"
+        wf = wf.select(
+            F_.regexp_replace(C("sym"), pat, a + b).alias("sym"), "freq")
+    return merges
+
+
+@op("ext_bpe_merges")  # rows-only: iterative argmax isn't one SQL query;
+                       # pytest pins the rules against a pure-Python
+                       # reference BPE on the same corpus
+def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 BPE merge rules learned over documents.text (see
+    bpe_merges for the distributed iteration shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_merges(docs, "text", n_merges=5)
+    return spark.createDataFrame(
+        rules, "step int, pair string, freq bigint")

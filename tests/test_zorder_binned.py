@@ -1,0 +1,61 @@
+"""Out-of-budget z-order path: keys beyond the 16-bit interleave budget
+must be range-binned, not silently bit-truncated (the r2-advisor finding:
+dropping high bits collapses DISTANT keys into ONE bucket)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from agentic_data_pipeline_spark.operators.cdc import (
+    Z_BITS, Z_BUCKET_SHIFT, _budget_or_bin,
+)
+from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+
+def _synthetic_lake(spark, tmp_path, n=20_000, user_span=10_000_000):
+    """events with user_id spread over [0, 10^7) — far beyond 2^16 — and
+    a one-year hour span (in-budget), so exactly one dimension bins."""
+    out = str(tmp_path / "zlake")
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000)
+             + (F.col("id") % 8760) * 3_600_000_000)).alias("ts"),
+        F.pmod(F.xxhash64("id"), F.lit(user_span)).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def test_zorder_bins_out_of_budget_dimension(spark, tmp_path):
+    _ensure_loaded()
+    sf_dir = _synthetic_lake(spark, tmp_path)
+    rows = OPS["ext_zorder_cluster"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1, "distant users collapsed into one bucket"
+    # The curve guarantee on the BINNED coordinate: every bucket spans
+    # < 2^(Z_BUCKET_SHIFT/2) distinct binned values per dimension.
+    bound = 1 << (Z_BUCKET_SHIFT // 2)
+    for r in rows:
+        assert r["u_max"] - r["u_min"] < bound, r
+        assert r["h_max"] - r["h_min"] < bound, r
+
+
+def test_budget_or_bin_identity_and_binned(spark):
+    df = spark.range(5).select(
+        (F.col("id") * 3_000_000).alias("k"))  # 0..12M
+    # identity path: span fits
+    small = spark.range(5).select((F.col("id") + 100).alias("k"))
+    got = [r[0] for r in
+           small.select(_budget_or_bin(F.col("k"), 100, 104)).collect()]
+    assert got == [0, 1, 2, 3, 4]
+    # binned path: monotonic, inside [0, 2^Z_BITS), distant keys separated
+    got = [r[0] for r in
+           df.select(_budget_or_bin(F.col("k"), 0, 12_000_000)).collect()]
+    assert got == sorted(got)
+    assert all(0 <= g < (1 << Z_BITS) for g in got)
+    assert len(set(got)) == 5, "3M-apart keys must land in distinct bins"
