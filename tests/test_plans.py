@@ -274,3 +274,26 @@ def test_headline_queries_stay_at_measured_minimum_shuffles(spark):
         p = plan_of(spark, op_id)
         shuffles = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
         assert shuffles <= ceiling, (op_id, shuffles, ceiling)
+
+
+def test_curation_pipeline_shape_r3(spark):
+    """r3 rework: survivor-per-fingerprint is a min_by AGGREGATE with a
+    map-side partial (no row_number window over fp), and the contamination
+    probe side feeds the anti join without an extra distinct exchange."""
+    p = plan_of(spark, "ext_curation_pipeline")
+    assert "row_number" not in p
+    assert "min_by" in p and "partial_min_by" in p
+    # windows that remain are the two shingle constructions (lead over
+    # in-doc position), whose exchange the per-doc distinct reuses
+    assert p.count("Window (") == 2
+    assert "EvalPython" not in p
+
+
+def test_skew_report_is_two_phase_agg(spark):
+    """One key-shuffle + one single-row global agg — the report costs what
+    one shuffle on the key costs, nothing more."""
+    df = OPS["ext_skew_report"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "EvalPython" not in plan
