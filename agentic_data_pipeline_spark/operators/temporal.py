@@ -220,13 +220,23 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (ev.withColumn("us", ts_us_long(ev))
           .filter(C("event_type").isin(*FUNNEL_STEPS))
           .select("user_id", "event_type", "us"))
+    return funnel_counts(ev)
+
+
+def funnel_counts(ev: DataFrame,
+                  steps: tuple[str, str, str] = FUNNEL_STEPS) -> DataFrame:
+    """Core funnel over (user_id, event_type, us) rows — see ext_funnel.
+    Strictness contract (pinned by tests/test_funnel_semantics.py): step k
+    counts a user only when an event of step k happened STRICTLY AFTER the
+    user's first qualifying step-(k-1) time; equal timestamps don't
+    qualify; step-k events before step k-1 never count."""
     w = Window.partitionBy("user_id")
-    t1 = F.min(F.when(C("event_type") == FUNNEL_STEPS[0], C("us"))).over(w)
+    t1 = F.min(F.when(C("event_type") == steps[0], C("us"))).over(w)
     per_user = ev.withColumn("t1", t1)
-    t2 = F.min(F.when((C("event_type") == FUNNEL_STEPS[1])
+    t2 = F.min(F.when((C("event_type") == steps[1])
                       & (C("us") > C("t1")), C("us"))).over(w)
     per_user = per_user.withColumn("t2", t2)
-    t3 = F.min(F.when((C("event_type") == FUNNEL_STEPS[2])
+    t3 = F.min(F.when((C("event_type") == steps[2])
                       & (C("us") > C("t2")), C("us"))).over(w)
     per_user = per_user.withColumn("t3", t3)
     flags = (per_user.groupBy("user_id")
@@ -237,7 +247,7 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t3").alias("c3"))
     return totals.select(F.expr(
         "stack(3, 1, '{0}', c1, 2, '{1}', c2, 3, '{2}', c3) "
-        "AS (step, event_type, n_users)".format(*FUNNEL_STEPS)))
+        "AS (step, event_type, n_users)".format(*steps)))
 
 
 @op("ext_retention", oracle="""

@@ -1,0 +1,65 @@
+"""ext_funnel's strict-ordering semantics on handcrafted users — the
+chained window-on-window expression the r2 verdict called the subtlest in
+the repo. Each case isolates one way the ordering can silently go wrong."""
+
+from __future__ import annotations
+
+from agentic_data_pipeline_spark.operators.temporal import funnel_counts
+
+
+def _run(spark, rows):
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, us bigint")
+    out = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
+    return out[1], out[2], out[3]
+
+
+def test_in_order_user_counts_at_all_steps(spark):
+    assert _run(spark, [(1, "view", 10), (1, "click", 20),
+                        (1, "purchase", 30)]) == (1, 1, 1)
+
+
+def test_click_before_view_does_not_convert(spark):
+    # click at t=5 precedes the first view — step 2 must NOT count
+    assert _run(spark, [(1, "click", 5), (1, "view", 10)]) == (1, 0, 0)
+
+
+def test_purchase_between_view_and_click_does_not_convert(spark):
+    # purchase (15) is after view but before the first qualifying click
+    assert _run(spark, [(1, "view", 10), (1, "purchase", 15),
+                        (1, "click", 20)]) == (1, 1, 0)
+
+
+def test_equal_timestamps_are_not_strictly_after(spark):
+    assert _run(spark, [(1, "view", 10), (1, "click", 10)]) == (1, 0, 0)
+    assert _run(spark, [(1, "view", 10), (1, "click", 20),
+                        (1, "purchase", 20)]) == (1, 1, 0)
+
+
+def test_second_click_after_view_converts(spark):
+    # early click doesn't qualify, the later one does — and the purchase
+    # must be measured against the first QUALIFYING click (25), not the
+    # early one (5): purchase at 27 > 25 counts
+    assert _run(spark, [(1, "click", 5), (1, "view", 10),
+                        (1, "click", 25), (1, "purchase", 27)]) == (1, 1, 1)
+
+
+def test_purchase_against_first_qualifying_click_only(spark):
+    # purchase at 22 is after the early junk click (5) but before the
+    # qualifying click (25) — must NOT count
+    assert _run(spark, [(1, "click", 5), (1, "view", 10),
+                        (1, "click", 25), (1, "purchase", 22)]) == (1, 1, 0)
+
+
+def test_no_view_user_never_counts(spark):
+    assert _run(spark, [(1, "click", 5), (1, "purchase", 9)]) == (0, 0, 0)
+
+
+def test_users_are_independent(spark):
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),  # full
+        (2, "view", 10), (2, "click", 5),                        # view only
+        (3, "view", 10), (3, "click", 20),                       # 2 steps
+        (4, "purchase", 1),                                      # nothing
+    ]
+    assert _run(spark, rows) == (3, 2, 1)
