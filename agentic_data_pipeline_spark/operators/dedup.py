@@ -502,3 +502,32 @@ def ext_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(C("rn") == 1)
         .select("doc_id", "source", "n_chars", "n_copies")
     )
+
+
+@op("ext_dedup_minhash_clusters")  # rows-only: LSH banding is xxhash64-
+                                   # based (no DuckDB twin); composition
+                                   # pinned by tests/test_dedup_clusters.py
+def ext_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DELIVERABLE: MinHash-LSH candidates → exact
+    Jaccard verification (both inside minhash_candidates) → connected
+    components over the verified near-dup graph → one row per cluster
+    with the canonical survivor (min doc_id), member count, and a dup
+    flag. `keep = survivor_id` is the list a curation pass joins against;
+    singleton clusters are emitted too so the output is a total partition
+    of the corpus (sum(n_members) == corpus size).
+
+    Composition of already-scale-proven parts: sub-quadratic banding
+    (BASELINE.md growth probe), min-label propagation with diameter-bound
+    rounds (near-dup clusters are dense and tiny), and a final
+    cluster-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, "doc_id", "text", 0.5)
+    edges = pairs.select(C("a_id").alias("s"), C("b_id").alias("t"))
+    vertices = docs.select(C("doc_id").alias("id"))
+    comp = connected_components(vertices, edges)
+    return (comp.groupBy("component_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .select(C("component_id").alias("survivor_id"),
+                    "n_members",
+                    (C("n_members") > 1).alias("is_dup_cluster")))

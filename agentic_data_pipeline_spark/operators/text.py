@@ -549,3 +549,86 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = bpe_merges(docs, "text", n_merges=5)
     return spark.createDataFrame(
         rules, "step int, pair string, freq bigint")
+
+
+# ------------------------------------------------- Gopher-style filtering
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_SW_ARR_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+@op("ext_gopher_filters", oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+')               AS w,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))     AS n_sym
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(w)                                              AS n_words,
+               CAST(len(list_filter(w, x -> NOT regexp_matches(x,
+                        '[A-Za-z]'))) AS DOUBLE) / len(w)          AS no_alpha_frac,
+               (SELECT AVG(LENGTH(x)) FROM unnest(w) AS u(x))      AS mean_wl,
+               CAST(n_sym AS DOUBLE) / len(w)                      AS sym_ratio,
+               CAST(len(list_filter(w, x -> list_contains(
+                        {_SW_ARR_SQL}, lower(x)))) AS DOUBLE)
+                   / len(w)                                        AS stop_frac
+        FROM t
+    )
+    SELECT doc_id,
+           n_words BETWEEN 50 AND 100000                AS ok_n_words,
+           mean_wl BETWEEN 3.0 AND 10.0                 AS ok_mean_word_len,
+           sym_ratio <= 0.1                             AS ok_symbol_ratio,
+           no_alpha_frac <= 0.2                         AS ok_alpha_words,
+           stop_frac >= 0.01                            AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_wl BETWEEN 3.0 AND 10.0)
+             AND sym_ratio <= 0.1
+             AND no_alpha_frac <= 0.2
+             AND stop_frac >= 0.01                      AS passes
+    FROM m
+""")
+def ext_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    public heuristic battery every LLM corpus pass applies): word-count
+    bounds, mean word length band, symbol-to-word ratio cap, minimum
+    alphabetic-word fraction, minimum stopword fraction; plus the AND of
+    all five as `passes`.
+
+    Each rule is a pure codegen expression over ONE tokenization (the
+    split is computed once and reused via a common subexpression) — the
+    whole battery fuses into the parquet scan as a map-only pass, the
+    cheapest possible shape at 100 TB. Thresholds follow the paper where
+    the fixture makes sense (50-100k words, 3-10 mean word length) and are
+    deliberately permissive elsewhere; the rule OUTPUTS are per-rule
+    booleans so downstream curation can re-weight without re-scanning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(C("text"))
+    n_words = F.size(w)
+    mean_wl = (F.aggregate(w, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + F.length(x))
+               .cast("double") / n_words)
+    n_sym = F.regexp_count(C("text"), F.lit(_PUNCT_RE))
+    sym_ratio = n_sym.cast("double") / n_words
+    no_alpha = (F.size(F.filter(w, lambda x:
+                                ~x.rlike("[A-Za-z]"))).cast("double")
+                / n_words)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_frac = (F.size(F.filter(w, lambda x:
+                                 F.array_contains(sw, F.lower(x))))
+                 .cast("double") / n_words)
+    ok_n = n_words.between(50, 100_000)
+    ok_wl = mean_wl.between(3.0, 10.0)
+    ok_sym = sym_ratio <= 0.1
+    ok_alpha = no_alpha <= 0.2
+    ok_stop = stop_frac >= 0.01
+    return docs.select(
+        "doc_id",
+        ok_n.alias("ok_n_words"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_n & ok_wl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )

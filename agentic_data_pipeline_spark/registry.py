@@ -83,8 +83,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Upgraded rows-only → oracle this round; re-check for a hash row (= 49)
     "ext_resize",
     # New in r3 (never checked): TTL'd stream dedup, key-skew diagnostics,
-    # iterative BPE trainer (rows-only by design)                   (= 52)
-    "stream_dedup_watermark", "ext_skew_report", "ext_bpe_merges",
+    # Gopher quality rules, iterative BPE trainer + composed dedup
+    # clusters (both rows-only by design)                           (= 54)
+    "stream_dedup_watermark", "ext_skew_report", "ext_gopher_filters",
+    "ext_bpe_merges", "ext_dedup_minhash_clusters",
     # --- everything below went green in r1/r2 (CORRECTNESS files); they
     # stay registered + locally parity-swept and sort after the frontier.
     "ext_inverted_index",
