@@ -70,7 +70,7 @@ HEADLINE = [
     "ext_curation_pipeline",
 ]
 
-WARMUP_PASSES = 3
+WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "3"))
 TIMED_RUNS = 3
 
 
@@ -136,7 +136,7 @@ def main() -> None:
 def duckdb_twin(sf_dir: str) -> dict[str, float]:
     """Paired DuckDB baseline from the same invocation: each headline op's
     oracle SQL (exact semantics twin) on the same parquet, warm cache,
-    best-of-2 — mirrors scripts/bench_duckdb.py."""
+    best-of-3 — symmetric with the Spark side's TIMED_RUNS."""
     import time
 
     from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
@@ -156,7 +156,7 @@ def duckdb_twin(sf_dir: str) -> dict[str, float]:
             return time.perf_counter() - t0
 
         one()  # warm-up (parse + page cache)
-        timings[name] = round(min(one(), one()), 3)
+        timings[name] = round(min(one(), one(), one()), 3)
     return timings
 
 
