@@ -79,11 +79,32 @@ SECTIONS = [
 ]
 
 
+def _driver_evidence() -> dict[str, str]:
+    """op_id → strongest accumulated CORRECTNESS_r{N}.json signal."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        for op_id, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                out[op_id] = f"pass ({rnd})"
+            elif row.get("err") == "no_oracle" and (row.get("spark_rows")
+                                                    is not None):
+                out.setdefault(op_id, f"rows-only ran ({rnd})")
+            elif row.get("err"):
+                out.setdefault(op_id, f"ERROR ({rnd})")
+    return out
+
+
 def main() -> None:
     _ensure_loaded()
     listed = [o for _, ops in SECTIONS for o in ops]
     missing = sorted(set(OPS) - set(listed))
     assert not missing, f"ops not in any section: {missing}"
+    evidence = _driver_evidence()
     lines = [
         "# COVERAGE — operator inventory vs SURVEY.md §2",
         "",
@@ -91,23 +112,32 @@ def main() -> None:
         "**oracle** = DuckDB hash-parity (row count + schema + "
         "order-insensitive values) at sf0.01; **rows-only** = driver "
         "executes + checks stable schema (op not SQL-expressible: engine "
-        "hashes, LSH, model/binary payloads), invariants pytest-covered.",
+        "hashes, LSH, model/binary payloads), invariants pytest-covered. "
+        "The driver-evidence column joins the accumulated "
+        "CORRECTNESS_r{N}.json files; 'queued' = in the DRIVER_PRIORITY "
+        "frontier awaiting its first driver row (all queued ops pass "
+        "scripts/parity_sweep.py and scripts/driver_preflight.py locally).",
         "",
     ]
-    total_oracle = 0
+    total_oracle = n_pass = 0
     for title, ops in SECTIONS:
-        lines += [f"## {title}", "", "| op id | verification | summary |",
-                  "|---|---|---|"]
+        lines += [f"## {title}", "",
+                  "| op id | verification | driver evidence | summary |",
+                  "|---|---|---|---|"]
         for op_id in ops:
             op = OPS[op_id]
             mode = "oracle" if op.oracle else "rows-only"
             total_oracle += bool(op.oracle)
+            ev = evidence.get(op_id, "queued")
+            n_pass += ev.startswith("pass")
             doc = (op.doc.splitlines()[0] if op.doc else "").rstrip(".")
-            lines.append(f"| `{op_id}` | {mode} | {doc} |")
+            lines.append(f"| `{op_id}` | {mode} | {ev} | {doc} |")
         lines.append("")
     lines.append(
         f"**Totals: {len(OPS)} ops; {total_oracle} oracle-checked, "
-        f"{len(OPS) - total_oracle} rows-only.**")
+        f"{len(OPS) - total_oracle} rows-only; driver evidence: {n_pass} "
+        f"hash-pass accumulated, {len(OPS) - len(evidence)} queued for the "
+        "next driver round.**")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
