@@ -63,3 +63,42 @@ def test_users_are_independent(spark):
         (4, "purchase", 1),                                      # nothing
     ]
     assert _run(spark, rows) == (3, 2, 1)
+
+
+def test_funnel_matches_python_reference_on_random_logs(spark):
+    """500 seeded random users, every (steps, times, order) combination the
+    generator can produce, one Spark job — funnel_counts must equal a
+    direct Python evaluation of the strict-ordering definition."""
+    import random
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "scroll"]  # scroll = noise
+    rows, by_user = [], {}
+    for u in range(500):
+        evs = [(rng.choice(types), rng.randint(0, 20))
+               for _ in range(rng.randint(0, 8))]
+        by_user[u] = evs
+        rows += [(u, t, us) for t, us in evs]
+
+    def ref_counts():
+        c1 = c2 = c3 = 0
+        for evs in by_user.values():
+            t1 = min((us for t, us in evs if t == "view"), default=None)
+            if t1 is None:
+                continue
+            c1 += 1
+            t2 = min((us for t, us in evs
+                      if t == "click" and us > t1), default=None)
+            if t2 is None:
+                continue
+            c2 += 1
+            if any(t == "purchase" and us > t2 for t, us in evs):
+                c3 += 1
+        return c1, c2, c3
+
+    ev = spark.createDataFrame(
+        [r for r in rows if r[1] in ("view", "click", "purchase")],
+        "user_id bigint, event_type string, us bigint")
+    from agentic_data_pipeline_spark.operators.temporal import funnel_counts
+    got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
+    assert (got[1], got[2], got[3]) == ref_counts()
