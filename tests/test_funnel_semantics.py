@@ -102,3 +102,52 @@ def test_funnel_matches_python_reference_on_random_logs(spark):
     from agentic_data_pipeline_spark.operators.temporal import funnel_counts
     got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
     assert (got[1], got[2], got[3]) == ref_counts()
+
+
+def test_retention_matches_python_reference_on_random_logs(spark, tmp_path):
+    """ext_retention on a synthetic random lake vs direct Python evaluation
+    of the cohort definition (first-seen day, distinct users per offset)."""
+    import os
+    import random
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rng = random.Random(7)
+    day_us = 86_400_000_000
+    rows = []
+    for u in range(300):
+        for _ in range(rng.randint(1, 6)):
+            day = rng.randint(0, 9)
+            us = day * day_us + rng.randint(0, day_us - 1)
+            rows.append((u, us))
+
+    sf_dir = str(tmp_path / "rlake")
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint").select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"))
+    df.write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet"))
+
+    first_day = {}
+    days_of = defaultdict(set)
+    for u, us in rows:
+        d = us // day_us
+        days_of[u].add(d)
+        first_day[u] = min(first_day.get(u, d), d)
+    expect = defaultdict(set)
+    for u, days in days_of.items():
+        d0 = first_day[u]
+        for d in days:
+            expect[(d0 * 86_400, int(d - d0))].add(u)
+    expect_counts = {k: len(v) for k, v in expect.items()}
+
+    got = {(r["cohort_epoch"], r["day_offset"]): r["n_users"]
+           for r in OPS["ext_retention"].fn(spark, sf_dir).collect()}
+    assert got == expect_counts
