@@ -229,3 +229,89 @@ def ext_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(rare_dn).cast("double") / F.sum("dn"), 6)
              .alias("rare_ratio"))
     )
+
+
+_PPL_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+        FROM documents
+    ), v AS (
+        SELECT COUNT(DISTINCT u) AS vocab
+        FROM (SELECT unnest(w) AS u FROM toks)
+    ), dc AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS dn
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+              FROM toks WHERE len(w) > 1),
+             LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+        GROUP BY 1, 2, 3
+    ), bc AS (
+        SELECT w1, w2, SUM(dn) AS c FROM dc GROUP BY 1, 2
+    ), uc AS (
+        SELECT w1, SUM(c) AS cu FROM bc GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.dn) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.dn * CAST(ROUND(LN((bc.c + 1.0) / (uc.cu + v.vocab))
+                                      * 10000, 0) AS BIGINT))
+                AS DOUBLE) / -10000.0                       AS nll_total,
+           ROUND(CAST(SUM(d.dn * CAST(ROUND(
+                     LN((bc.c + 1.0) / (uc.cu + v.vocab)) * 10000, 0)
+                 AS BIGINT)) AS DOUBLE) / -10000.0 / SUM(d.dn), 6)
+                                                            AS avg_nll
+    FROM dc d
+    JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
+    JOIN uc ON uc.w1 = d.w1
+    CROSS JOIN v
+    GROUP BY 1
+"""
+
+
+@op("ext_lm_perplexity", oracle=_PPL_SQL)
+def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the actual
+    CCNet-style perplexity filter (ppl = exp(avg_nll)), trained on the
+    corpus itself with add-one smoothing: P(w2|w1) = (B+1)/(U+V). The
+    integer-exact sibling ext_rare_bigrams flags tail mass; this op gives
+    the continuous score curation pipelines threshold on.
+
+    Determinism across engines: each bigram's ln P is rounded to 4dp and
+    SCALED TO BIGINT before the weighted sum (the repo's fixed-point money
+    trick applied to log-space), so the aggregate is order-independent and
+    hash-exact; 4dp absorbs libm ulp differences between JVM and DuckDB.
+
+    Shape at scale: identical to ext_rare_bigrams — per-doc bigrams
+    pre-aggregate before any join, corpus tables (bc, uc) derive from one
+    subtree and broadcast when small / bucket at 100 TB; vocab size V is
+    a 1-row driver scalar. Smoothed scoring of UNSEEN bigrams (a held-out
+    set against a frozen LM table) is the same join with a left anti
+    default of ln(1/(U+V)) — the training-corpus self-score here is what
+    the dedup/quality pass consumes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), r"[^a-z0-9]+", " ")),
+        r"\s+")
+    toks = docs.select("doc_id", words.alias("w"))
+    vocab = (toks.select(F.explode("w").alias("u")).distinct().count())
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x as w1, w[i + 1] as w2))")
+    big = (toks.filter(F.size("w") > 1)
+           .select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", C("p.w1").alias("w1"), C("p.w2").alias("w2")))
+    dc = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("dn"))
+    bc = dc.groupBy("w1", "w2").agg(F.sum("dn").alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("cu"))
+    ln4 = F.round(F.ln((C("c") + 1.0) / (C("cu") + F.lit(vocab)))
+                  * 10000, 0).cast("bigint")
+    return (
+        dc.join(bc, ["w1", "w2"]).join(uc, "w1")
+        .groupBy("doc_id")
+        .agg(F.sum("dn").alias("n_bigrams"),
+             (F.sum(C("dn") * ln4).cast("double") / -10000.0)
+             .alias("nll_total"),
+             F.round(F.sum(C("dn") * ln4).cast("double") / -10000.0
+                     / F.sum("dn"), 6).alias("avg_nll"))
+    )
