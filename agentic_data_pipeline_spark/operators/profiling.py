@@ -315,3 +315,104 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(C("dn") * ln4).cast("double") / -10000.0
                      / F.sum("dn"), 6).alias("avg_nll"))
     )
+
+
+_PPL_HOLDOUT_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+        FROM documents
+    ), train AS (
+        SELECT * FROM toks WHERE doc_id % 50 <> 0
+    ), v AS (
+        SELECT COUNT(DISTINCT u) AS vocab
+        FROM (SELECT unnest(w) AS u FROM train)
+    ), tb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_transform(range(1, len(w)),
+                     i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+              FROM train WHERE len(w) > 1),
+             LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+        GROUP BY 1, 2
+    ), tu AS (
+        SELECT w1, SUM(c) AS cu FROM tb GROUP BY 1
+    ), hd AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS dn
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+              FROM toks WHERE doc_id % 50 = 0 AND len(w) > 1),
+             LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+        GROUP BY 1, 2, 3
+    )
+    SELECT h.doc_id,
+           CAST(SUM(h.dn) AS BIGINT) AS n_bigrams,
+           CAST(SUM(h.dn * CASE WHEN tu.cu IS NULL
+                     THEN CAST(ROUND(LN(1.0 / v.vocab) * 10000, 0) AS BIGINT)
+                     ELSE CAST(ROUND(LN((COALESCE(tb.c, 0) + 1.0)
+                                        / (tu.cu + v.vocab))
+                               * 10000, 0) AS BIGINT) END)
+                AS DOUBLE) / -10000.0                      AS nll_total,
+           ROUND(CAST(SUM(h.dn * CASE WHEN tu.cu IS NULL
+                     THEN CAST(ROUND(LN(1.0 / v.vocab) * 10000, 0) AS BIGINT)
+                     ELSE CAST(ROUND(LN((COALESCE(tb.c, 0) + 1.0)
+                                        / (tu.cu + v.vocab))
+                               * 10000, 0) AS BIGINT) END)
+                 AS DOUBLE) / -10000.0 / SUM(h.dn), 6)     AS avg_nll
+    FROM hd h
+    LEFT JOIN tb ON tb.w1 = h.w1 AND tb.w2 = h.w2
+    LEFT JOIN tu ON tu.w1 = h.w1
+    CROSS JOIN v
+    GROUP BY 1
+"""
+
+
+@op("ext_lm_score_holdout", oracle=_PPL_HOLDOUT_SQL)
+def ext_lm_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity: the bigram LM trains on doc_id % 50 != 0 and
+    scores the held-out 1/50 — the real train/test deployment of
+    ext_lm_perplexity (score a NEW crawl against a frozen reference LM).
+    Smoothing for unseen events via LEFT JOIN + COALESCE: unseen pair with
+    seen prefix → (0+1)/(U+V); unseen prefix → 1/V. Same fixed-point
+    log-space sums as the self-score op, so hash-exact across engines.
+
+    Shape at scale: the frozen LM tables (tb, tu) are exactly the
+    "bucketed stats tables" the rare-bigrams docstring names — built once
+    per reference corpus, reused for every incoming batch; the held-out
+    side joins against them without ever shuffling the reference corpus
+    again.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), r"[^a-z0-9]+", " ")),
+        r"\s+")
+    toks = docs.select("doc_id", words.alias("w"))
+    train = toks.filter(C("doc_id") % 50 != 0)
+    vocab = train.select(F.explode("w").alias("u")).distinct().count()
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x as w1, w[i + 1] as w2))")
+
+    def bigrams(df):
+        return (df.filter(F.size("w") > 1)
+                .select("doc_id", F.explode(pairs).alias("p"))
+                .select("doc_id", C("p.w1").alias("w1"),
+                        C("p.w2").alias("w2")))
+
+    tb = bigrams(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tu = tb.groupBy("w1").agg(F.sum("c").alias("cu"))
+    hd = (bigrams(toks.filter(C("doc_id") % 50 == 0))
+          .groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("dn")))
+    ln_seen = F.round(F.ln((F.coalesce(C("c"), F.lit(0)) + 1.0)
+                           / (C("cu") + F.lit(vocab))) * 10000, 0) \
+        .cast("bigint")
+    ln_oov = F.round(F.ln(1.0 / F.lit(vocab)) * 10000, 0).cast("bigint")
+    term = F.when(C("cu").isNull(), ln_oov).otherwise(ln_seen)
+    return (
+        hd.join(tb, ["w1", "w2"], "left").join(tu, "w1", "left")
+        .groupBy("doc_id")
+        .agg(F.sum("dn").alias("n_bigrams"),
+             (F.sum(C("dn") * term).cast("double") / -10000.0)
+             .alias("nll_total"),
+             F.round(F.sum(C("dn") * term).cast("double") / -10000.0
+                     / F.sum("dn"), 6).alias("avg_nll"))
+    )

@@ -86,7 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Gopher quality rules, iterative BPE trainer + composed dedup
     # clusters (both rows-only by design)                           (= 54)
     "stream_dedup_watermark", "ext_skew_report", "ext_gopher_filters",
-    "ext_lm_perplexity", "ext_bpe_merges", "ext_dedup_minhash_clusters",
+    "ext_lm_perplexity", "ext_lm_score_holdout", "ext_bpe_merges", "ext_dedup_minhash_clusters",
     # --- everything below went green in r1/r2 (CORRECTNESS files); they
     # stay registered + locally parity-swept and sort after the frontier.
     "ext_inverted_index",

@@ -67,7 +67,7 @@ SECTIONS = [
         "ext_scd2_history",
         "ext_entropy", "ext_pmi_bigrams", "ext_rare_bigrams", "q_histogram",
         "ext_skew_report", "ext_bpe_merges", "ext_gopher_filters",
-        "ext_dedup_minhash_clusters", "ext_lm_perplexity",
+        "ext_dedup_minhash_clusters", "ext_lm_perplexity", "ext_lm_score_holdout",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup",
