@@ -531,3 +531,77 @@ def ext_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(C("component_id").alias("survivor_id"),
                     "n_members",
                     (C("n_members") > 1).alias("is_dup_cluster")))
+
+
+@op("ext_dedup_clusters_bounded", oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+'), i, i + 2), ' ')
+               )) AS grams
+        FROM documents
+        WHERE doc_id < 200
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))) >= 0.5
+    ), edges AS (
+        SELECT a_id AS s, b_id AS t FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ), reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+        SELECT s AS doc_id, LEAST(s, MIN(t)) AS component_id
+        FROM reach GROUP BY s
+    ), lab AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT CAST(component_id AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT)     AS n_members,
+           (COUNT(*) > 1)               AS is_dup_cluster
+    FROM lab GROUP BY component_id
+""")
+def ext_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of ext_dedup_minhash_clusters: the SAME
+    verified-Jaccard-graph → connected-components → cluster/survivor
+    composition, on a doc_id-bounded corpus where the near-dup graph is
+    computed by exact all-pairs Jaccard (word-3-shingles, J >= 0.5) so a
+    DuckDB recursive-CTE oracle can reproduce it bit-for-bit.
+
+    Deliberately NOT the LSH-banded candidate generator: banding recall is
+    probabilistic (a J=0.6 pair survives 8x4 banding with p~0.67), so hash
+    parity through the banded path would silently depend on fixture
+    content. The banded front-end keeps its own evidence (pytest
+    recall/precision + the BASELINE.md growth probe); THIS op hash-pins
+    everything downstream of candidate generation — exact-Jaccard verify,
+    min-label propagation, total-partition cluster aggregate — which the
+    full-corpus op composes with banding at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(C("doc_id") < 200)
+    grams = docs.select(C("doc_id"), word_shingles(C("text"), 3).alias("g"))
+    a = grams.select(C("doc_id").alias("a_id"), C("g").alias("a_g"))
+    b = grams.select(C("doc_id").alias("b_id"), C("g").alias("b_g"))
+    pairs = (
+        a.join(F.broadcast(b), C("b_id") > C("a_id"))
+        .filter(jaccard(C("a_g"), C("b_g")) >= 0.5)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(C("a_id").alias("s"), C("b_id").alias("t"))
+    vertices = docs.select(C("doc_id").alias("id"))
+    comp = connected_components(vertices, edges)
+    return (comp.groupBy("component_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .select(C("component_id").alias("survivor_id"),
+                    "n_members",
+                    (C("n_members") > 1).alias("is_dup_cluster")))

@@ -56,39 +56,36 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # locally pytest-verified either way). Maintained by hand each round from
 # CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-3 frontier: the 48 ops with no CORRECTNESS_r01/r02 row yet
-    # (r1+r2 checked 99 of 147; all of these pass parity_sweep at sf0.01).
-    # Extended SQL surface
+    # --- round-4 frontier: the ONLY 6 registered ops with no accumulated
+    # CORRECTNESS_r01/r02/r03 row (added late in r3; the ~50-op driver
+    # budget cut them at positions 51-56). All 6 pass parity_sweep at
+    # sf0.01 and were judge-replayed clean; they lead so one round closes
+    # the surface at 154/154.
+    "ext_skew_report", "ext_gopher_filters", "ext_lm_perplexity",
+    "ext_lm_score_holdout", "ext_bpe_merges", "ext_dedup_minhash_clusters",
+    # --- new in r4 (never driver-checked)
+    "ext_dedup_clusters_bounded",
+    # --- everything below is driver-evidenced green in r1/r2/r3
+    # (CORRECTNESS files); stays registered + locally parity-swept and
+    # sorts after the frontier.
+    # Round-3 green
     "q_cube", "q_window_nav", "q_window_range", "q_join_full", "q_join_cross",
     "q_pivot", "q_unpivot", "q_string_agg", "q_percentile", "q_json_funcs",
     "q_exists", "q_lateral", "q_grouping_sets", "q_variant",
-    # Remaining streaming plane (7/7 stream ops driver-evidenced after this)
     "stream_sliding", "stream_stream_join", "stream_to_bronze",
-    # Temporal / product analytics
     "ext_asof_join", "ext_range_join", "ext_gap_fill",
     "ext_funnel", "ext_retention", "ext_sessionize",
-    # TPC-H shapes
     "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q12_priority_by_delay",
     "q13_order_distribution", "q15_top_supplier", "q16_part_supplier_counts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
-    # Sampling / corpus ops
     "ext_sample_stratified", "ext_train_val_split", "ext_corpus_stats",
     "ext_domain_mix",
-    # Vector / ANN
     "ext_dedup_embedding", "ext_ann_ivf", "vector_search_batch", "ext_ann_pq",
     "ext_ann_lsh", "ext_kmeans_clusters", "ext_similarity_topk_batch",
-    # CDC / lake layout / text (new in r2)
     "ext_zorder_cluster", "ext_rare_bigrams", "ext_scd2_history",
-    # Upgraded rows-only → oracle this round; re-check for a hash row (= 49)
-    "ext_resize",
-    # New in r3 (never checked): TTL'd stream dedup, key-skew diagnostics,
-    # Gopher quality rules, iterative BPE trainer + composed dedup
-    # clusters (both rows-only by design)                           (= 54)
-    "stream_dedup_watermark", "ext_skew_report", "ext_gopher_filters",
-    "ext_lm_perplexity", "ext_lm_score_holdout", "ext_bpe_merges", "ext_dedup_minhash_clusters",
-    # --- everything below went green in r1/r2 (CORRECTNESS files); they
-    # stay registered + locally parity-swept and sort after the frontier.
+    "ext_resize", "stream_dedup_watermark",
+    # Round-1/2 green
     "ext_inverted_index",
     "ingest_csv", "ingest_json", "ingest_orc", "ingest_text", "ingest_excel",
     "ingest_pdf", "ingest_error", "write_bronze", "read_bronze", "sql_exec",
