@@ -131,12 +131,32 @@ _Z_TERMS_SQL = " + ".join(
     for i in range(Z_BITS)
 )
 
+# The oracle mirrors _budget_or_bin exactly for BOTH dimensions: shift to a
+# 0-based offset, and when the span exceeds the 2^Z_BITS budget, equal-width
+# bin with d = ceil((span+1)/2^Z_BITS) via float-divide-then-floor — the
+# same expression the Spark side evaluates, so in-budget AND binned lakes
+# hash-match (a 1-based or sparse user_id space no longer silently diverges).
 _ZORDER_SQL = f"""
-    WITH b AS (
-        SELECT user_id AS x,
-               (epoch_us(ts) // 3600000000)
-                 - (SELECT MIN(epoch_us(ts) // 3600000000) FROM events) AS y
+    WITH st AS (
+        SELECT MIN(user_id) AS mn_u, MAX(user_id) AS mx_u,
+               MIN(epoch_us(ts) // 3600000000) AS mn_h,
+               MAX(epoch_us(ts) // 3600000000) AS mx_h
         FROM events
+    ), b AS (
+        SELECT CASE WHEN (st.mx_u - st.mn_u) < {1 << Z_BITS}
+                    THEN user_id - st.mn_u
+                    ELSE CAST(FLOOR((user_id - st.mn_u) / CAST(
+                         (((st.mx_u - st.mn_u) + {1 << Z_BITS}) >> {Z_BITS})
+                         AS DOUBLE)) AS BIGINT)
+               END AS x,
+               CASE WHEN (st.mx_h - st.mn_h) < {1 << Z_BITS}
+                    THEN (epoch_us(ts) // 3600000000) - st.mn_h
+                    ELSE CAST(FLOOR(((epoch_us(ts) // 3600000000) - st.mn_h)
+                         / CAST(
+                         (((st.mx_h - st.mn_h) + {1 << Z_BITS}) >> {Z_BITS})
+                         AS DOUBLE)) AS BIGINT)
+               END AS y
+        FROM events, st
     ), z AS (
         SELECT x, y, ({_Z_TERMS_SQL}) AS zv FROM b
     )
@@ -210,10 +230,11 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fall back to RANGE BINNING: exact equal-width integer scaling onto
     # [0, 2^Z_BITS) — a monotonic map, so the curve's per-bucket span
     # guarantee transfers to the bins (production variants may swap in
-    # approx-quantile bins for skewed keys at the cost of determinism;
-    # equal-width keeps the op reproducible and oracle-exact). The fixture
-    # fits the budget, so the driver-checked path is the identity one;
-    # the binned path is value-pinned by tests/test_zorder_binned.py.
+    # approx-quantile bins for skewed keys at the cost of determinism).
+    # _ZORDER_SQL spells the identical offset-and-bin CASE for both
+    # dimensions, so the oracle covers the identity AND binned paths;
+    # tests/test_zorder_binned.py additionally hash-compares both engines
+    # on a synthetic out-of-budget lake.
     st = ev.agg(F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
                 F.min(hour_abs).alias("mn_h"), F.max(hour_abs).alias("mx_h"),
                 ).collect()[0]

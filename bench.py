@@ -26,12 +26,15 @@ BASELINE.md):
   state), which would have made every cross-round comparison read as a
   phantom regression. A/B on one box, same minute: consecutive 4.35 s
   total, interleaved 6.89 s.
-- Self-proving artifact (VERDICT r2 §next-2): the JSON embeds
-  os.getloadavg() (r2's 17% "regression" was host load 3-4, provable then
-  only from prose), all n per-run totals, and the paired DuckDB-twin run
-  from the SAME invocation with the Spark/DuckDB ratio over the
-  oracle-covered queries — a reader of the artifact alone can now separate
-  host noise from real regressions.
+- Self-proving artifact (VERDICT r2 §next-2, refined per r3 advice): the
+  JSON embeds os.getloadavg() (r2's 17% "regression" was host load 3-4,
+  provable then only from prose), every per-query run array with its
+  wall-clock start offset (temporally coherent, unlike the r3 "pass
+  totals"), and the paired DuckDB-twin run from the SAME invocation with
+  the Spark/DuckDB ratio over the oracle-covered queries. Each invocation
+  also appends to BENCH_HISTORY.jsonl and the artifact carries the
+  min-load recorded pair at the same SF, so the driver's one JSON contains
+  the best controlled number alongside the live one.
 
 This measures steady-state query latency — the same thing the DuckDB
 baseline (scripts/bench_duckdb.py, in-memory connection, OS-cached parquet)
@@ -96,8 +99,16 @@ def main() -> None:
         for name in HEADLINE:
             run(name)
 
-    runs = {name: [run(name) for _ in range(TIMED_RUNS)]
-            for name in HEADLINE}
+    # Per-query timed blocks carry their own wall-clock start so a reader
+    # can correlate any slow run with the loadavg samples (r3-advisor
+    # finding: summed "pass totals" were not temporally coherent — runs
+    # execute consecutively PER QUERY, not in global passes).
+    bench_start = time.time()
+    runs: dict[str, list[float]] = {}
+    run_starts: dict[str, float] = {}
+    for name in HEADLINE:
+        run_starts[name] = round(time.time() - bench_start, 3)
+        runs[name] = [run(name) for _ in range(TIMED_RUNS)]
     timings = {name: round(min(r), 3) for name, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
@@ -117,20 +128,48 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the twin must never break the contract
         pass
 
-    print(json.dumps({
+    artifact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "n_timed_runs": TIMED_RUNS,
-        "run_totals_sec": [round(sum(r[i] for r in runs.values()), 3)
-                           for i in range(TIMED_RUNS)],
+        "runs_sec": {n: [round(x, 3) for x in r] for n, r in runs.items()},
+        "run_start_offsets_sec": run_starts,
+        "invocation_unix": round(bench_start, 1),
         "load_avg": [round(x, 2) for x in os.getloadavg()],
         "duckdb_twin_sec": duck_queries,
         "duckdb_twin_total_sec": round(sum(duck_queries.values()), 3),
         "spark_over_duckdb_ratio": ratio,
-    }))
+    }
+    artifact["min_load_invocation"] = _record_history(artifact)
+    print(json.dumps(artifact))
+
+
+def _record_history(artifact: dict) -> dict | None:
+    """Append this paired invocation to BENCH_HISTORY.jsonl (committed with
+    the repo) and return the min-load recorded invocation at the same SF —
+    so the single JSON the driver records also carries the best controlled
+    pair with its load attached (VERDICT r3: the idle-box under-2x pairs
+    lived only in prose while the artifact of record was taken at load
+    ~2.5-2.9). Never breaks the contract: best-effort IO."""
+    try:
+        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_HISTORY.jsonl")
+        entry = {k: artifact[k] for k in (
+            "value", "sf", "invocation_unix", "load_avg",
+            "duckdb_twin_total_sec", "spark_over_duckdb_ratio")}
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        with open(hist_path) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+        same_sf = [e for e in entries
+                   if e.get("sf") == artifact["sf"]
+                   and e.get("spark_over_duckdb_ratio") is not None]
+        return min(same_sf, key=lambda e: e["load_avg"][0]) if same_sf else None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def duckdb_twin(sf_dir: str) -> dict[str, float]:

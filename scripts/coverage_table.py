@@ -67,7 +67,8 @@ SECTIONS = [
         "ext_scd2_history",
         "ext_entropy", "ext_pmi_bigrams", "ext_rare_bigrams", "q_histogram",
         "ext_skew_report", "ext_bpe_merges", "ext_gopher_filters",
-        "ext_dedup_minhash_clusters", "ext_lm_perplexity", "ext_lm_score_holdout",
+        "ext_dedup_minhash_clusters", "ext_dedup_clusters_bounded",
+        "ext_lm_perplexity", "ext_lm_score_holdout",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup",
@@ -80,22 +81,38 @@ SECTIONS = [
 
 
 def _driver_evidence() -> dict[str, str]:
-    """op_id → strongest accumulated CORRECTNESS_r{N}.json signal."""
+    """op_id → accumulated CORRECTNESS_r{N}.json signal. The LATEST round's
+    status always shows: an op that passed in r1 but errored in r3 renders
+    'pass (r1), ERROR (r3)', never a bare green (r3-advisor finding — an
+    earlier-round pass must not mask a regression)."""
     import glob
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out: dict[str, str] = {}
+    hist: dict[str, list[tuple[str, str]]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         for op_id, row in json.load(open(path)).items():
             if row.get("hash_match"):
-                out[op_id] = f"pass ({rnd})"
+                status = "pass"
             elif row.get("err") == "no_oracle" and (row.get("spark_rows")
                                                     is not None):
-                out.setdefault(op_id, f"rows-only ran ({rnd})")
+                status = "rows-only ran"
             elif row.get("err"):
-                out.setdefault(op_id, f"ERROR ({rnd})")
+                status = "ERROR"
+            else:
+                status = "ERROR"          # rows/schema/hash false, no err
+            hist.setdefault(op_id, []).append((rnd, status))
+    out: dict[str, str] = {}
+    for op_id, entries in hist.items():
+        ok = [(r, s) for r, s in entries if s != "ERROR"]
+        best = f"{ok[-1][1]} ({ok[-1][0]})" if ok else None
+        last_rnd, last_status = entries[-1]
+        if last_status == "ERROR":
+            out[op_id] = (f"{best}, ERROR ({last_rnd})" if best
+                          else f"ERROR ({last_rnd})")
+        else:
+            out[op_id] = best
     return out
 
 

@@ -124,3 +124,30 @@ def test_batch_ts_helpers_read_nanos_lake(spark, tmp_path):
     ns = {r[0] for r in
           ns_ev.select(ts_us_long(ns_ev).alias("x")).collect()}
     assert us == ns and us
+
+
+# ------------------------------------------------- multimodal fixture precondition
+
+def test_documents_text_ascii_precondition():
+    """ext_resize / ext_multimodal / ext_frame_sample oracles compare
+    char-based DuckDB substrings against byte-based Spark payloads; the
+    equivalence requires every documents.text to be pure ASCII with no
+    trailing NUL (r3-advisor finding). A byte-level oracle would NOT fix a
+    violation — Spark's own decode->strip->encode round-trip is lossy for
+    split multibyte chars — so the precondition must fail LOUDLY when the
+    regenerated lake breaks it, at every tier the driver checks."""
+    import duckdb
+
+    con = duckdb.connect(database=":memory:")
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        bad, nul = con.execute(
+            "SELECT sum(CASE WHEN NOT regexp_matches(text, '^[\\x00-\\x7F]*$') "
+            "THEN 1 ELSE 0 END), "
+            "sum(CASE WHEN text LIKE '%' || chr(0) THEN 1 ELSE 0 END) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()
+        assert not bad, f"{sf}: {bad} non-ASCII documents.text rows"
+        assert not nul, f"{sf}: {nul} trailing-NUL documents.text rows"

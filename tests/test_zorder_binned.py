@@ -45,6 +45,27 @@ def test_zorder_bins_out_of_budget_dimension(spark, tmp_path):
         assert r["h_max"] - r["h_min"] < bound, r
 
 
+def test_zorder_binned_path_matches_oracle(spark, tmp_path):
+    """Driver-style hash compare on a lake whose user_id span EXCEEDS the
+    bit budget: proves _ZORDER_SQL's offset-and-bin CASE reproduces
+    _budget_or_bin bit-for-bit on the binned path, not just the in-budget
+    identity the real fixture exercises (r3-advisor finding: the oracle
+    formerly used raw user_id and no binning)."""
+    import duckdb
+
+    from tests.parity_util import compare
+
+    _ensure_loaded()
+    sf_dir = _synthetic_lake(spark, tmp_path)
+    con = duckdb.connect(database=":memory:")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'events.parquet', '*.parquet')}')"
+    )
+    compare(OPS["ext_zorder_cluster"].fn(spark, sf_dir), con,
+            OPS["ext_zorder_cluster"].oracle)
+
+
 def test_budget_or_bin_identity_and_binned(spark):
     df = spark.range(5).select(
         (F.col("id") * 3_000_000).alias("k"))  # 0..12M
