@@ -374,7 +374,8 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- near-dup clustering (CC)
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     ``vertices``: one column ``id``; ``edges``: columns ``s``, ``t``
@@ -395,6 +396,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         edges.select(C("t").alias("s"), C("s").alias("t")))
     comp = vertices.select(C("id"), C("id").alias("comp")).localCheckpoint()
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
         msgs = (
             comp.join(sym, C("id") == C("s"))
@@ -408,10 +410,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                     .alias("comp"))
             .localCheckpoint()
         )
+        rounds += 1
         s = comp.agg(F.sum("comp")).collect()[0][0]
         if s == prev_sum:
             break
         prev_sum = s
+    if stats is not None:
+        stats["rounds"] = rounds    # scale probes report diameter evidence
     return comp.select(C("id"), C("comp").alias("component_id"))
 
 
