@@ -123,6 +123,25 @@ def ingest_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest(spark, path, "orc", schema=part.schema)
 
 
+@op("ingest_xml", oracle="SELECT * FROM supplier")
+def ingest_xml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → XML files → distributed XML read with explicit schema.
+
+    Beyond-reference format using Spark 4's built-in XML datasource (the
+    former spark-xml, merged upstream). Lossless round-trip for TPC-H's
+    flat no-null schema: doubles serialize as shortest-repr strings that
+    parse back to the identical double, and the XML writer escapes text
+    content (s_comment) so the read side recovers it exactly.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    path = _sf_scratch(sf_dir, "ingest_xml", "supplier.xml")
+    _materialize_once(path, lambda: supp.write.mode("overwrite")
+                      .option("rowTag", "row").option("rootTag", "rows")
+                      .format("xml").save(path),
+                      _lake_fp(sf_dir, "supplier"))
+    return ingest(spark, path, "xml", schema=supp.schema)
+
+
 @op("ingest_text", oracle="SELECT text AS value FROM documents")
 def ingest_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → line-oriented text files → spark.read.text.

@@ -203,3 +203,44 @@ def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(hash_bucket(C("doc_id"), MIX_BUCKETS) < C("thresh_bp")))
     return kept.groupBy("source", "target_bp", "n_total").agg(
         F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- Training-shard assignment ------------------------------------------
+
+N_SHARDS = 16
+
+
+@op("ext_shard_assign", oracle=f"""
+    SELECT doc_id,
+           {_duck_bucket('doc_id', 16)} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_duck_bucket('doc_id', 16)}
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+""")
+def ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order: the
+    manifest a distributed training-data writer materializes (N shard
+    files, each globally shuffled once, reproducible across reruns).
+
+    shard = md5-bucket(doc_id) % N_SHARDS balances shards regardless of
+    doc_id density; within-shard order sorts by md5(doc_id) — a stable
+    pseudo-random permutation, so consumers stream documents in a shuffled
+    order WITHOUT a separate shuffle job (ORDER BY rand() is neither
+    rerun-stable nor resumable).
+
+    Scale shape: one exchange on shard (the same repartition the writer
+    needs anyway) + sortWithinPartitions; row_number is the per-partition
+    manifest position. At 100 TB this is exactly
+    `df.repartition(N, "shard").sortWithinPartitions("shuffle_key")`
+    followed by a partitioned write — no global sort, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = hash_bucket(C("doc_id"), N_SHARDS)
+    shuffle_key = F.md5(C("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (docs.select("doc_id", shard.alias("shard"),
+                        shuffle_key.alias("shuffle_key"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .drop("shuffle_key"))

@@ -181,6 +181,64 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(quality_expr(C("text")), 6).alias("quality"))
 
 
+@op("ext_quality_classifier", oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS word
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               CAST(list_reduce(list_transform(string_split(substring(
+                   md5(word), 1, 8), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 1001 AS BIGINT) AS w
+        FROM toks WHERE word <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((CAST(SUM(w) AS DOUBLE) / NULLIF(COUNT(*), 0) - 500.0)
+                 / 500.0, 6) AS score,
+           CASE WHEN (CAST(SUM(w) AS DOUBLE) / NULLIF(COUNT(*), 0) - 500.0)
+                     / 500.0 >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    GROUP BY doc_id
+""")
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier via the hashing trick:
+    each token maps to a weight by hashing (md5 → bucket in [0,1000]), the
+    document score is the mean weight rescaled to ~[-1,1], and the label
+    thresholds the score — the exact runtime shape of a trained
+    fastText/logistic-regression quality filter (the standard model-based
+    pass after heuristic Gopher rules in web-corpus curation).
+
+    The weights here are hash-derived stand-ins so the op is deterministic
+    and oracle-checkable offline; swapping in trained weights changes ONE
+    lookup (hash bucket → broadcast weight array), not the plan. Scale
+    shape: tokenize + hash are per-row codegen; the only exchange is the
+    per-doc partial-aggregated sum — a model with millions of buckets
+    broadcasts as a float array and the plan is unchanged at 100 TB.
+
+    Exactness: the per-token weights are INTEGER buckets, so SUM/COUNT are
+    exact on both engines; the score becomes a double only in the final
+    identical two-operation expression (no order-dependent float sums).
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    toks = (docs.select("doc_id", F.explode(F.split(norm, r"\s+")).alias("word"))
+            .filter(C("word") != ""))
+    w = hash_bucket(C("word"), 1001).cast("bigint")
+    n = F.count(F.lit(1))
+    score = (F.sum(w).cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
+        / F.lit(500.0)
+    return (toks.groupBy("doc_id")
+            .agg(n.alias("n_tokens"),
+                 F.round(score, 6).alias("score"),
+                 F.when(score >= 0, "keep").otherwise("drop").alias("label")))
+
+
 @op("ext_fingerprint", oracle=r"""
     SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
@@ -537,6 +595,50 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
         wf = wf.select(
             F_.regexp_replace(C("sym"), pat, a + b).alias("sym"), "freq")
     return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, int]],
+               text_col: str = "text") -> DataFrame:
+    """Apply learned BPE merge rules to the corpus and return the token
+    frequency table — the *encode* half of the tokenizer (ext_bpe_merges
+    trains; this op is what every downstream token count / packing step
+    runs at corpus scale).
+
+    Scale shape: encoding is per-WORD, so it runs on the distinct-word
+    vocabulary (one corpus pass + one dictionary-sized shuffle), never
+    per-document. The merge table is driver-side metadata (vocabulary-
+    sized, kilobytes) compiled into a chain of regexp_replace expressions —
+    whole-stage codegen, zero Python in the data path, exactly classic
+    BPE's left-to-right non-overlapping application order (same
+    symbol-boundary guards as the trainer, bpe_merges above).
+    """
+    import re as _re
+
+    norm = F.trim(F.regexp_replace(F.lower(C(text_col)), "[^a-z]+", " "))
+    wf = (docs.select(F.explode(F.split(norm, r"\s+")).alias("w"))
+          .filter(C("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    sym: Column = F.array_join(F.split(C("w"), ""), " ")
+    for _step, pair, _freq in merges:
+        a, b = pair.split(" ")
+        pat = rf"(?<!\S){_re.escape(a)} {_re.escape(b)}(?!\S)"
+        sym = F.regexp_replace(sym, pat, a + b)
+    return (wf.select(F.explode(F.split(sym, " ")).alias("token"), "freq")
+            .groupBy("token")
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+            .withColumn("token_len",
+                        F.length(C("token")).cast("bigint")))
+
+
+@op("ext_bpe_encode")  # rows-only: tokens depend on the iteratively-learned
+                       # merge table (not one SQL query); pytest pins the
+                       # full token histogram against a pure-Python encoder
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table under the 5-rule BPE tokenizer learned
+    by ext_bpe_merges on the same corpus (see bpe_encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_merges(docs, "text", n_merges=5)
+    return bpe_encode(docs, rules, "text")
 
 
 @op("ext_bpe_merges")  # rows-only: iterative argmax isn't one SQL query;

@@ -65,6 +65,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_lm_score_holdout", "ext_bpe_merges", "ext_dedup_minhash_clusters",
     # --- new in r4 (never driver-checked)
     "ext_dedup_clusters_bounded",
+    "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
+    "ext_bpe_encode",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.

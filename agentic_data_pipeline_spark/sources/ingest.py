@@ -133,6 +133,15 @@ _READERS = {
         else spark.read.orc(path)
     ),
     "text": lambda spark, path, schema, options: spark.read.text(path),
+    # Spark 4 ships the (formerly spark-xml) XML datasource natively; rowTag
+    # selects the repeating record element. Splittable + schema-able like
+    # csv/json, so the same pushdown/pruning story applies.
+    "xml": lambda spark, path, schema, options: (
+        spark.read.options(**{"rowTag": "row", **options})
+        .schema(schema).format("xml").load(path) if schema is not None
+        else spark.read.options(**{"rowTag": "row", **options})
+        .format("xml").load(path)
+    ),
 }
 
 

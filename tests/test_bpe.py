@@ -56,3 +56,50 @@ def test_bpe_merge_application_order(spark):
     # round 2: 'ab ab' inside the two 'abab' words (freq 2)
     assert got[0][1] == "a b" and got[0][2] == 5
     assert got[1][1] == "ab ab" and got[1][2] == 2
+
+
+def _reference_encode(texts: list[str], merges) -> Counter:
+    """Token histogram under the learned merges (pure Python)."""
+    wf = Counter()
+    for t in texts:
+        for w in re.sub("[^a-z]+", " ", t.lower()).split():
+            wf[w] += 1
+    hist = Counter()
+    pats = [(re.compile(rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)"), a + b)
+            for _, pair, _ in merges for a, b in [pair.split(" ")]]
+    for w, f in wf.items():
+        s = " ".join(list(w))
+        for pat, rep in pats:
+            s = pat.sub(rep, s)
+        for tok in s.split(" "):
+            hist[tok] += f
+    return hist
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.text import bpe_encode, bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    merges = bpe_merges(docs, "text", n_merges=5)
+    expect = _reference_encode(texts, merges)
+    got = {r["token"]: r["n_occurrences"]
+           for r in bpe_encode(docs, merges, "text").collect()}
+    assert got == dict(expect)
+    # merged symbols actually appear as tokens (the encoder applied rules)
+    merged_syms = {p.replace(" ", "") for _, p, _ in merges}
+    assert merged_syms & set(got)
+
+
+def test_bpe_encode_application_order(spark):
+    """Encoding must reuse training's left-to-right non-overlapping order:
+    'a b'→'ab' turns 'a b a b' into 'ab ab', then 'ab ab'→'abab' — so
+    'abab' encodes to one token while the bare 'ab' word stays 'ab'."""
+    from agentic_data_pipeline_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([("abab abab ab",)], "text string")
+    merges = [(1, "a b", 5), (2, "ab ab", 2)]
+    got = {r["token"]: r["n_occurrences"]
+           for r in bpe_encode(df, merges, "text").collect()}
+    assert got == {"abab": 2, "ab": 1}
