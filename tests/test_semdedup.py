@@ -1,0 +1,63 @@
+"""ext_semdedup: the kept/dropped decision must match a numpy brute-force
+re-derivation of the drop rule (exists lower-id same-cluster vector with
+cosine > threshold) using the op's OWN cluster assignments — so the test
+pins the dedup logic independently of k-means internals."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def test_semdedup_matches_bruteforce(spark, sf_dir):
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["vec_id"]: (r["cluster_id"], r["kept"])
+           for r in semdedup(emb, k_clusters=8, threshold=0.35).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    # total partition of the corpus: one decision per vector
+    assert set(out) == set(vecs)
+
+    # brute-force the drop rule per cluster (double precision, same formula)
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cid, _) in out.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    expect_kept = {}
+    for cid, ids in by_cluster.items():
+        ids.sort()
+        m = np.stack([vecs[i] for i in ids])
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        for pos, vid in enumerate(ids):
+            expect_kept[vid] = not bool(
+                (sims[pos, :pos] > 0.35).any())
+    mismatches = {v for v in out if out[v][1] != expect_kept[v]}
+    assert not mismatches, f"keep/drop mismatch for {sorted(mismatches)[:10]}"
+
+    # the op actually deduplicates on this fixture (clusters contain
+    # near-dups by construction of the embeddings table)
+    assert any(not kept for _, kept in out.values())
+    assert any(kept for _, kept in out.values())
+
+
+def test_semdedup_kept_set_is_pairwise_below_threshold_with_lower_ids(spark, sf_dir):
+    """No kept vector may have a kept lower-id near-dup in its cluster —
+    the representative-per-group guarantee of the lowest-id rule."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, k_clusters=8, threshold=0.35)
+    kept = out.filter("kept")
+    a = kept.selectExpr("cluster_id", "vec_id AS a_id")
+    b = kept.selectExpr("cluster_id AS b_cluster", "vec_id AS b_id")
+    pairs = a.join(b, (a.cluster_id == b.b_cluster) & (a.a_id < b.b_id))
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in pairs.collect():
+        u, v = vecs[r["a_id"]], vecs[r["b_id"]]
+        sim = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+        assert sim <= 0.35 + 1e-9, (r["a_id"], r["b_id"], sim)
