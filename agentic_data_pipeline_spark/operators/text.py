@@ -184,25 +184,27 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("ext_quality_classifier", oracle=r"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(regexp_replace(
-                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')) AS word
+               list_filter(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+                   w -> w <> '') AS words
         FROM documents
     ), scored AS (
         SELECT doc_id,
-               CAST(list_reduce(list_transform(string_split(substring(
-                   md5(word), 1, 8), ''),
-                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                   (a, b) -> a * 16 + b) % 1001 AS BIGINT) AS w
-        FROM toks WHERE word <> ''
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(words,
+                   w -> list_reduce(list_transform(string_split(substring(
+                            md5(w), 1, 8), ''),
+                            c -> CAST(strpos('0123456789abcdef', c) - 1
+                                      AS BIGINT)),
+                        (a, b) -> a * 16 + b) % 1001)) AS BIGINT) AS sum_w
+        FROM toks
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND((CAST(SUM(w) AS DOUBLE) / NULLIF(COUNT(*), 0) - 500.0)
+    SELECT doc_id, n_tokens,
+           ROUND((CAST(sum_w AS DOUBLE) / NULLIF(n_tokens, 0) - 500.0)
                  / 500.0, 6) AS score,
-           CASE WHEN (CAST(SUM(w) AS DOUBLE) / NULLIF(COUNT(*), 0) - 500.0)
+           CASE WHEN (CAST(sum_w AS DOUBLE) / NULLIF(n_tokens, 0) - 500.0)
                      / 500.0 >= 0 THEN 'keep' ELSE 'drop' END AS label
     FROM scored
-    GROUP BY doc_id
 """)
 def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier via the hashing trick:
@@ -214,29 +216,33 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The weights here are hash-derived stand-ins so the op is deterministic
     and oracle-checkable offline; swapping in trained weights changes ONE
-    lookup (hash bucket → broadcast weight array), not the plan. Scale
-    shape: tokenize + hash are per-row codegen; the only exchange is the
-    per-doc partial-aggregated sum — a model with millions of buckets
-    broadcasts as a float array and the plan is unchanged at 100 TB.
+    lookup (hash bucket → broadcast weight array), not the plan.
 
-    Exactness: the per-token weights are INTEGER buckets, so SUM/COUNT are
-    exact on both engines; the score becomes a double only in the final
-    identical two-operation expression (no order-dependent float sums).
+    Scale shape: MAP-ONLY — tokenization, per-token hashing, and the
+    document sum all run inside whole-stage codegen via higher-order array
+    functions (transform + aggregate), so there is NO exchange at all (an
+    explode + groupBy(doc_id) formulation would shuffle the corpus-token
+    table — strictly worse at 100 TB for an identical result; the plan
+    test pins zero exchanges).
+
+    Exactness: the per-token weights are INTEGER buckets, so the array sum
+    is exact on both engines regardless of order; the score becomes a
+    double only in the final identical two-operation expression.
     """
-    from .sampling import hash_bucket
-
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
-    toks = (docs.select("doc_id", F.explode(F.split(norm, r"\s+")).alias("word"))
-            .filter(C("word") != ""))
-    w = hash_bucket(C("word"), 1001).cast("bigint")
-    n = F.count(F.lit(1))
-    score = (F.sum(w).cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
+    words = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
+    bucket = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)  # noqa: E731
+                        .cast("bigint") % 1001)
+    sum_w = F.aggregate(F.transform(words, bucket),
+                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    n = F.size(words).cast("bigint")
+    score = (sum_w.cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
         / F.lit(500.0)
-    return (toks.groupBy("doc_id")
-            .agg(n.alias("n_tokens"),
-                 F.round(score, 6).alias("score"),
-                 F.when(score >= 0, "keep").otherwise("drop").alias("label")))
+    return docs.select(
+        "doc_id", n.alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        F.when(score >= 0, "keep").otherwise("drop").alias("label"))
 
 
 @op("ext_fingerprint", oracle=r"""

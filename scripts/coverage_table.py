@@ -14,7 +14,7 @@ from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
 SECTIONS = [
     ("Reference concrete ops (SURVEY §2.1)", [
         "ingest_csv", "ingest_excel", "ingest_json", "ingest_pdf",
-        "ingest_orc", "ingest_text",
+        "ingest_orc", "ingest_text", "ingest_xml",
         "ingest_error", "write_bronze", "read_bronze", "sql_exec",
         "vector_index", "vector_search", "nl_transform", "nl_fallback",
         "serve_json", "serve_csv", "viz_bar", "preview",
@@ -69,6 +69,8 @@ SECTIONS = [
         "ext_skew_report", "ext_bpe_merges", "ext_gopher_filters",
         "ext_dedup_minhash_clusters", "ext_dedup_clusters_bounded",
         "ext_lm_perplexity", "ext_lm_score_holdout",
+        "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
+        "ext_semdedup",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup",

@@ -297,3 +297,20 @@ def test_skew_report_is_two_phase_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange SinglePartition") == 1
     assert "EvalPython" not in plan
+
+
+def test_quality_classifier_map_only(spark):
+    """The hashing-trick classifier must stay a zero-exchange map pass
+    (higher-order array fns, no explode+groupBy, no Python)."""
+    p = plan_of(spark, "ext_quality_classifier")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    assert "Generate" not in p  # no explode
+
+
+def test_shard_assign_single_exchange(spark):
+    """Shard manifest = exactly the writer's one repartition-by-shard
+    exchange feeding the within-shard sort/row_number."""
+    p = plan_of(spark, "ext_shard_assign")
+    assert p.count("Exchange (") == 1
+    assert "EvalPython" not in p
