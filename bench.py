@@ -143,17 +143,21 @@ def main() -> None:
         "duckdb_twin_total_sec": round(sum(duck_queries.values()), 3),
         "spark_over_duckdb_ratio": ratio,
     }
-    artifact["min_load_invocation"] = _record_history(artifact)
+    artifact["history_same_sf"] = _record_history(artifact)
     print(json.dumps(artifact))
 
 
 def _record_history(artifact: dict) -> dict | None:
     """Append this paired invocation to BENCH_HISTORY.jsonl (committed with
-    the repo) and return the min-load recorded invocation at the same SF —
-    so the single JSON the driver records also carries the best controlled
-    pair with its load attached (VERDICT r3: the idle-box under-2x pairs
-    lived only in prose while the artifact of record was taken at load
-    ~2.5-2.9). Never breaks the contract: best-effort IO."""
+    the repo) and return a summary of ALL recorded same-SF invocations —
+    median/band of the paired ratio plus the min-load pair — so the single
+    JSON the driver records carries the controlled evidence, not one
+    invocation's load luck (VERDICT r3: the idle-box under-2x pairs lived
+    only in prose while the artifact of record was taken at load ~2.5-2.9).
+    The ratio is load-controlled by construction (Spark and the DuckDB twin
+    run in the SAME invocation), so the median over invocations, not the
+    single lowest-load row, is the number of record. Never breaks the
+    contract: best-effort IO."""
     try:
         hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_HISTORY.jsonl")
@@ -167,7 +171,19 @@ def _record_history(artifact: dict) -> dict | None:
         same_sf = [e for e in entries
                    if e.get("sf") == artifact["sf"]
                    and e.get("spark_over_duckdb_ratio") is not None]
-        return min(same_sf, key=lambda e: e["load_avg"][0]) if same_sf else None
+        if not same_sf:
+            return None
+        ratios = sorted(e["spark_over_duckdb_ratio"] for e in same_sf)
+        mid = len(ratios) // 2
+        median = (ratios[mid] if len(ratios) % 2
+                  else round((ratios[mid - 1] + ratios[mid]) / 2, 3))
+        return {
+            "n_invocations": len(ratios),
+            "ratio_median": median,
+            "ratio_band": [ratios[0], ratios[-1]],
+            "min_load_invocation": min(same_sf,
+                                       key=lambda e: e["load_avg"][0]),
+        }
     except Exception:  # noqa: BLE001
         return None
 
