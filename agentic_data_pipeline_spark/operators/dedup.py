@@ -325,6 +325,55 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("ext_dedup_containment", oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+'), i, i + 2), ' ')
+               )) AS grams
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(a.grams), 6) AS containment_a_in_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(b.grams), 6) AS containment_b_in_a
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""")
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT (|A∩B| / |A|): the sub-document dup
+    metric — a short doc fully quoted inside a long one scores ~1.0 here
+    while its Jaccard stays near zero (|A∪B| is dominated by the long
+    side), so Jaccard-threshold dedup never sees it. Standard companion
+    to MinHash verification in crawl pipelines (quotes, syndication,
+    boilerplate expansion). Demonstrated on adjacent doc pairs so the
+    oracle stays linear-size — in production the pair list comes from the
+    same LSH banding as ext_dedup_minhash (candidates only, never all
+    pairs), and containment replaces/augments the exact-Jaccard verify.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(C("doc_id") < 200)
+    grams = docs.select(C("doc_id"), word_shingles(C("text"), 3).alias("grams"))
+    a = grams.select(C("doc_id").alias("a_id"), C("grams").alias("a_g"))
+    b = grams.select(C("doc_id").alias("b_id"), C("grams").alias("b_g"))
+    inter = F.size(F.array_intersect(C("a_g"), C("b_g")))
+    return (
+        a.join(b, C("b_id") == C("a_id") + 1)
+        .select("a_id", "b_id",
+                inter.cast("bigint").alias("n_common"),
+                F.round(inter.cast("double") / F.size(C("a_g")), 6)
+                .alias("containment_a_in_b"),
+                F.round(inter.cast("double") / F.size(C("b_g")), 6)
+                .alias("containment_b_in_a"))
+    )
+
+
 @op("ext_decontaminate", oracle=r"""
     WITH toks AS (
         SELECT doc_id,

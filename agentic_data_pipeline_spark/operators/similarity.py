@@ -684,3 +684,51 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is a knob on semdedup(); the plan is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, k_clusters=8, threshold=0.35)
+
+
+@op("ext_knn_graph", oracle=f"""
+    SELECT vec_id, neighbor_id, sim, rank FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC,
+                            b.vec_id) AS BIGINT) AS rank
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+""")
+def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph (k=3, cosine), blocked by label —
+    the graph-construction primitive under graph-based curation
+    (connected-component dedup, PageRank-style centrality sampling,
+    label propagation all start from this edge list).
+
+    Blocking makes the pair space within-block quadratic instead of
+    global (the same role k-means cells play in ext_semdedup when no
+    natural block key exists). Scale shape: ONE shuffle on the block key
+    for the self-join; the per-vector top-k is a window over the pair
+    stream — no global sort, no driver state. Both engines fold the dot
+    product left-to-right over the array, so the unrounded sim that
+    orders the window is bit-identical and the graph is oracle-exact.
+    """
+    from ..functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(C("vec_id"), C("label"),
+                   C("embedding").alias("a_vec"),
+                   l2_norm(C("embedding")).alias("a_n"))
+    b = emb.select(C("label").alias("b_label"),
+                   C("vec_id").alias("neighbor_id"),
+                   C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
+    w = Window.partitionBy("vec_id").orderBy(C("__sim").desc(), C("neighbor_id"))
+    return (a.join(b, (C("label") == C("b_label"))
+                   & (C("vec_id") != C("neighbor_id")))
+            .select("vec_id", "neighbor_id", sim.alias("__sim"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(C("rank") <= 3)
+            .select("vec_id", "neighbor_id",
+                    F.round(C("__sim"), 6).alias("sim"), "rank"))

@@ -66,7 +66,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- new in r4 (never driver-checked)
     "ext_dedup_clusters_bounded",
     "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
-    "ext_bpe_encode", "ext_semdedup",
+    "ext_bpe_encode", "ext_semdedup", "ext_knn_graph",
+    "ext_dedup_containment",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.
