@@ -207,3 +207,101 @@ def stream_to_bronze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         dec_sum("value").alias("sum_value"))
+
+
+def _split_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Events fixture re-written as n ts-range part files so availableNow +
+    maxFilesPerTrigger=1 yields n genuine micro-batches (the single-file
+    symlink dir gives one batch, which would make an upsert test vacuous).
+    Lake-fingerprinted like the ingest scratch (regenerated lake → rebuild)."""
+    from ..catalog import load_table
+    from .reference_ops import _lake_fp, _materialize_once, _sf_scratch
+
+    path = _sf_scratch(sf_dir, "stream_split", f"events_{n_files}")
+    ev = load_table(spark, sf_dir, "events")
+    _materialize_once(
+        path,
+        lambda: ev.repartitionByRange(n_files, "ts", "event_id")
+        .write.mode("overwrite").parquet(path),
+        _lake_fp(sf_dir, "events"))
+    return path
+
+
+@op("stream_upsert", oracle="""
+    WITH latest AS (
+        SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+               event_type AS last_event_type, value AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts) DESC,
+                                            event_id DESC) = 1
+    ), cnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, last_event_id, last_ts_us, last_event_type,
+           last_value
+    FROM latest JOIN cnt USING (user_id)
+""")
+def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (foreachBatch upsert): maintain a per-user
+    state table — event count + latest event — across micro-batches; the
+    final state must hash-equal the batch latest-by-key + count over the
+    whole fixture, proving no batch was lost, doubled, or mis-merged.
+
+    Each micro-batch pre-aggregates map-side to ONE row per touched user
+    (count + max_by, both declarative aggregates), then merges into the
+    state table keyed on user_id — the same associative merge a Delta/
+    Iceberg MERGE INTO performs; plain parquet stands in via versioned
+    read-modify-write (v{i} reads v{i-1}), which is also what makes each
+    epoch idempotent under retry. At 100 TB/day the shuffle per batch is
+    touched-keys-sized, never fact-table-sized, and state is
+    key-cardinality-sized.
+    """
+    from ..catalog import ts_us_long
+
+    C = F.col
+    split = _split_stream_dir(spark, sf_dir)
+    run_dir = os.path.join("/root/repo/.tmp", "stream_upsert",
+                           uuid.uuid4().hex[:8])
+    os.makedirs(run_dir, exist_ok=True)
+
+    batch_schema = spark.read.parquet(split).schema  # footer only
+    stream = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", "1").parquet(split))
+    stream = stream.withColumn("ts_us", ts_us_long(stream))
+
+    state = {"path": None}
+    last = F.max_by(
+        F.struct("last_event_id", "last_event_type", "last_value"),
+        F.struct("last_ts_us", "last_event_id"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by(F.struct(C("event_id").alias("last_event_id"),
+                              C("event_type").alias("last_event_type"),
+                              C("value").alias("last_value")),
+                     F.struct("ts_us", "event_id")).alias("s"),
+            F.max(C("ts_us")).alias("last_ts_us"))
+            .select("user_id", "n_events", C("s.last_event_id"),
+                    "last_ts_us", C("s.last_event_type"), C("s.last_value")))
+        if state["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["path"])
+            agg = (prev.unionByName(agg).groupBy("user_id")
+                   .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                        last.alias("s"),
+                        F.max("last_ts_us").alias("last_ts_us"))
+                   .select("user_id", "n_events", C("s.last_event_id"),
+                           "last_ts_us", C("s.last_event_type"),
+                           C("s.last_value")))
+        out = os.path.join(run_dir, f"state_v{batch_id}")
+        agg.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["path"])

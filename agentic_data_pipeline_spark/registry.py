@@ -67,7 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_clusters_bounded",
     "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
     "ext_bpe_encode", "ext_semdedup", "ext_knn_graph",
-    "ext_dedup_containment",
+    "ext_dedup_containment", "stream_upsert",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.

@@ -78,7 +78,8 @@ SECTIONS = [
     ("Streaming plane", ["stream_tumble", "stream_sliding", "stream_dedup",
                          "stream_dedup_watermark",
                          "stream_join", "stream_stream_join",
-                         "stream_sessionize", "stream_to_bronze"]),
+                         "stream_sessionize", "stream_to_bronze",
+                         "stream_upsert"]),
 ]
 
 

@@ -52,3 +52,20 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
     a = sorted(map(tuple, spark.table("t_default_store").collect()))
     b = sorted(map(tuple, spark.table("t_rocksdb_store").collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_upsert_merges_across_micro_batches(spark, sf_dir):
+    """The upsert must actually iterate: 4 ts-range part files +
+    maxFilesPerTrigger=1 → one state version per micro-batch, each merging
+    the previous (a single-batch run would make the op vacuous)."""
+    import glob
+    import os
+
+    from agentic_data_pipeline_spark.registry import OPS
+
+    out = OPS["stream_upsert"].fn(spark, sf_dir)
+    assert out.count() > 0
+    run_dirs = sorted(glob.glob("/root/repo/.tmp/stream_upsert/*"),
+                      key=os.path.getmtime)
+    states = glob.glob(os.path.join(run_dirs[-1], "state_v*"))
+    assert len(states) >= 3, f"expected >=3 micro-batches, got {len(states)}"
