@@ -67,7 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_clusters_bounded",
     "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
     "ext_bpe_encode", "ext_semdedup", "ext_knn_graph",
-    "ext_dedup_containment", "stream_upsert",
+    "ext_dedup_containment", "stream_upsert", "ext_pagerank",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.
@@ -133,8 +133,8 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
-        analytics, approx, cdc, dedup, flagship, multimodal, prep, profiling,
-        reference_ops, rules, sampling, sessionize,
+        analytics, approx, cdc, dedup, flagship, graph, multimodal, prep,
+        profiling, reference_ops, rules, sampling, sessionize,
         similarity, sql_surface, streaming_ops, temporal, text, tpch_full,
     )
     _loaded = True
