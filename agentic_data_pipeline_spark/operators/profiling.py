@@ -416,3 +416,46 @@ def ext_lm_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(C("dn") * term).cast("double") / -10000.0
                      / F.sum("dn"), 6).alias("avg_nll"))
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@op("ext_data_profile", oracle=" UNION ALL ".join(f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT)                    AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT)       AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT)         AS n_distinct,
+           MIN({c})                                    AS min_v,
+           MAX({c})                                    AS max_v,
+           CAST(SUM(CAST(ROUND({c} * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                                                       AS sum_v
+    FROM lineitem""" for c in _PROFILE_COLS))
+def ext_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (the data-quality report every pipeline runs
+    on landing a table): per-column row/null/distinct counts, min/max,
+    exact sum — ONE scan for all columns (a single aggregate computes
+    every statistic; the per-column rows are unpivoted from the 1-row
+    aggregate with a cheap stack, not one scan per column — at 100 TB the
+    difference is len(columns) full-table passes). Sums ride the
+    cents-integer trick so both engines aggregate exactly in any order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(C(c)).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            (F.sum(F.round(C(c) * 100, 0).cast("bigint")).cast("double")
+             / 100.0).alias(f"{c}__sum"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__sum"
+        for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)")

@@ -927,3 +927,58 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("k").cast("bigint").alias("sum_k"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k")))
+
+
+@op("q_intersect_all", oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+""")
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics: keeps min(count_left,
+    count_right) copies per value — distinct from q_intersect's set
+    semantics). Spark plans it as a count-compare aggregate, one shuffle
+    on the value."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        C("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        C("s_nationkey").alias("nationkey"))
+    return cust.intersectAll(supp)
+
+
+@op("q_except_all", oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+""")
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference: count_left - count_right copies
+    survive per value)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        C("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        C("s_nationkey").alias("nationkey"))
+    return cust.exceptAll(supp)
+
+
+@op("q_window_dist", oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9)    AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (percent_rank / cume_dist) with a unique
+    tiebreaker so both engines agree row-for-row; both are rank/count
+    ratios, so the doubles are identical before the ROUND."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        C("o_totalprice").desc(), C("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_d"),
+    )

@@ -28,7 +28,7 @@ SECTIONS = [
         "q_case_when", "q_array_funcs", "q_json_funcs", "q_tumble",
         "q_string_agg", "q_percentile", "q_exists", "q_lateral",
         "q_grouping_sets", "q_window_range", "q_join_full", "q_join_cross",
-        "q_variant",
+        "q_variant", "q_intersect_all", "q_except_all", "q_window_dist",
     ]),
     ("Multi-join analytics & MERGE (SURVEY §2.2 joins, generalized)", [
         "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_shipments",
@@ -71,7 +71,7 @@ SECTIONS = [
         "ext_lm_perplexity", "ext_lm_score_holdout",
         "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
         "ext_semdedup", "ext_knn_graph", "ext_dedup_containment",
-        "ext_pagerank",
+        "ext_pagerank", "ext_data_profile",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup",
