@@ -323,3 +323,49 @@ def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w).alias("valid_to_us"),
         "value",
     )
+
+
+@op("ext_bucketed_join", oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+""")
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over PRE-BUCKETED tables: lineitem and orders are
+    written bucketBy(8, orderkey) + sortBy at "ingest time", so the join
+    plans as a sort-merge with NO Exchange on either side (the `merge`
+    hint forbids a broadcast fallback from hiding the property; the plan
+    test pins the only exchange to the final small-key aggregate).
+
+    THE 100 TB lever for repeated fact-fact joins: bucketing trades one
+    up-front ingest-time shuffle for zero shuffle on every subsequent
+    orderkey join — at 1000 executors the difference between moving the
+    fact tables per query and a partition-local merge. Tables are
+    external (explicit .tmp path) and per-tier; the in-memory catalog
+    makes them session-scoped, so each session pays one bucketed write —
+    the honest stand-in for a persistent metastore.
+    """
+    import os
+
+    from .reference_ops import _sf_scratch
+
+    names = {}
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        name = f"b_{t}_{tag}"
+        if not spark.catalog.tableExists(name):
+            (load_table(spark, sf_dir, t).write.mode("overwrite")
+             .bucketBy(8, key).sortBy(key)
+             .option("path", _sf_scratch(sf_dir, "bucketed", name))
+             .saveAsTable(name))
+        names[t] = name
+    li, o = spark.table(names["lineitem"]), spark.table(names["orders"])
+    return (li.hint("merge")
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 (F.sum(F.round(C("l_extendedprice") * 100, 0).cast("bigint"))
+                  .cast("double") / 100.0).alias("revenue")))

@@ -71,7 +71,7 @@ SECTIONS = [
         "ext_lm_perplexity", "ext_lm_score_holdout",
         "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
         "ext_semdedup", "ext_knn_graph", "ext_dedup_containment",
-        "ext_pagerank", "ext_data_profile",
+        "ext_pagerank", "ext_data_profile", "ext_bucketed_join",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup",

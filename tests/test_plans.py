@@ -314,3 +314,13 @@ def test_shard_assign_single_exchange(spark):
     p = plan_of(spark, "ext_shard_assign")
     assert p.count("Exchange (") == 1
     assert "EvalPython" not in p
+
+
+def test_bucketed_join_no_join_side_exchange(spark):
+    """Pre-bucketed fact-fact join must sort-merge with zero exchange on
+    the join key — the only shuffle left is the final small-key agg."""
+    p = plan_of(spark, "ext_bucketed_join")
+    assert "SortMergeJoin" in p
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
+    assert "EvalPython" not in p
