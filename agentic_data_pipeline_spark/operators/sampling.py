@@ -244,3 +244,23 @@ def ext_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                         shuffle_key.alias("shuffle_key"))
             .withColumn("pos", F.row_number().over(w).cast("bigint"))
             .drop("shuffle_key"))
+
+
+@op("ext_sample_fixed_n", oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+""")
+def ext_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sample (N=100): rank every row by
+    md5(doc_id) and keep the first N — the fixed-budget eval-set draw
+    (rate-based sampling can't hit an exact N; ORDER BY rand() isn't
+    rerun-stable). Plans as TakeOrderedAndProject: each partition keeps
+    its local top-N and the driver merges N per partition — no global
+    sort, no full shuffle, at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", "lang", "source",
+                        F.md5(C("doc_id").cast("string")).alias("__k"))
+            .orderBy("__k", "doc_id").limit(100).drop("__k"))
