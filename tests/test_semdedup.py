@@ -61,3 +61,19 @@ def test_semdedup_kept_set_is_pairwise_below_threshold_with_lower_ids(spark, sf_
         u, v = vecs[r["a_id"]], vecs[r["b_id"]]
         sim = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
         assert sim <= 0.35 + 1e-9, (r["a_id"], r["b_id"], sim)
+
+
+def test_knn_graph_batch_matches_jvm_twin(spark, sf_dir):
+    """The BLAS applyInPandas kNN must produce the identical edge list
+    (and 6dp sims/ranks) as the oracle-checked JVM pair-join path."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    jvm = {(r["vec_id"], r["neighbor_id"]): (r["sim"], r["rank"])
+           for r in OPS["ext_knn_graph"].fn(spark, sf_dir).collect()}
+    blas = {(r["vec_id"], r["neighbor_id"]): (r["sim"], r["rank"])
+            for r in OPS["ext_knn_graph_batch"].fn(spark, sf_dir).collect()}
+    assert set(jvm) == set(blas)
+    for e in jvm:
+        assert abs(jvm[e][0] - blas[e][0]) < 2e-6, e
+        assert jvm[e][1] == blas[e][1], e
