@@ -740,3 +740,39 @@ def ext_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_n & ok_wl & ok_sym & ok_alpha & ok_stop).alias("passes"),
     )
+
+
+# --------------------------------------------------- embedding training
+
+
+@op("ext_word2vec_train")  # rows-only: learned float vectors have no SQL
+                           # twin; pytest pins vocabulary construction,
+                           # dimensionality, and deterministic re-fit
+def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train word embeddings over the corpus (MLlib Word2Vec, skip-gram):
+    the upstream producer of every embedding-consuming op in the surface
+    (vector_search / ANN / semdedup run on vectors SOMETHING trained —
+    this op is that something, distributed).
+
+    Determinism: seed fixed and numPartitions=1 → bit-stable re-fit
+    (pytest-verified). At scale numPartitions=N trains hogwild-style —
+    faster, non-deterministic; the standard trade, documented rather than
+    hidden. Output is the vocabulary vector table (word, l2 norm): the
+    model artifact a pipeline broadcasts into encode passes.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z]+", " ")),
+        " ").alias("words"))
+    model = Word2Vec(vectorSize=32, minCount=5, seed=42, numPartitions=1,
+                     maxIter=2, inputCol="words", outputCol="v").fit(words)
+    arr = vector_to_array(C("vector"))
+    return (model.getVectors()
+            .select("word",
+                    F.lit(32).alias("dim"),
+                    F.round(F.sqrt(F.aggregate(
+                        F.transform(arr, lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)), 6).alias("l2")))

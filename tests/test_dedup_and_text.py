@@ -271,3 +271,27 @@ def test_similarity_topk_batch_matches_jvm_path(spark):
     blas = sorted((r["query_id"], r["neighbor_id"], round(r["sim"], 6))
                   for r in ext_similarity_topk_batch(spark, sf).collect())
     assert jvm == blas
+
+
+def test_word2vec_train_vocab_and_determinism(spark, sf_dir):
+    """Vocabulary must be exactly the words with corpus freq >= minCount;
+    re-fit with the same seed/partitioning must be bit-stable."""
+    from collections import Counter
+
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    out1 = {r["word"]: r["l2"]
+            for r in OPS["ext_word2vec_train"].fn(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    freq = Counter()
+    import re
+    for row in docs.select("text").collect():
+        freq.update(re.sub("[^a-z]+", " ", row["text"].lower()).split())
+    expect_vocab = {w for w, n in freq.items() if n >= 5}
+    assert set(out1) == expect_vocab
+    assert all(v > 0 for v in out1.values())
+    out2 = {r["word"]: r["l2"]
+            for r in OPS["ext_word2vec_train"].fn(spark, sf_dir).collect()}
+    assert out1 == out2
