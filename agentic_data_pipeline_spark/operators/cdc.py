@@ -369,3 +369,77 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_items"),
                  (F.sum(F.round(C("l_extendedprice") * 100, 0).cast("bigint"))
                   .cast("double") / 100.0).alias("revenue")))
+
+
+@op("ext_cdc_changelog", oracle="""
+    WITH old_base AS (
+        SELECT * FROM events
+        WHERE event_id < (SELECT MAX(event_id) / 2 FROM events)
+    ),
+    old_last AS (
+        SELECT user_id, event_id AS last_id FROM old_base
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    ),
+    old_s AS (
+        SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(l.last_id) AS last_id
+        FROM old_base b JOIN old_last l USING (user_id)
+        GROUP BY b.user_id
+    ),
+    new_last AS (
+        SELECT user_id, event_id AS last_id FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    ),
+    new_s AS (
+        SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(l.last_id) AS last_id
+        FROM events e JOIN new_last l USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN o.n <> n.n OR o.last_id <> n.last_id THEN 'update'
+                ELSE 'unchanged' END AS change,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS old_n,
+           n.n AS new_n
+    FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+""")
+def ext_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff changelog: compare per-key state between an older
+    snapshot (events below the event_id midpoint — a deterministic stand-
+    in for "yesterday's table") and the current one, emitting
+    insert/update/unchanged per key — the table-diff that seeds an
+    incremental downstream refresh when no CDC feed exists.
+
+    Shape at scale: two key-level aggregates (map-side combined, one
+    shuffle each on user_id) + ONE full-outer join on the same key — AQE
+    reuses the agg partitioning, so the join adds no exchange. Never
+    row-by-row: the diff is set arithmetic on aggregates.
+    """
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_us_long(ev))
+    cut = ev.agg((F.max("event_id") / 2).alias("c"))
+    agg = lambda df: (df.groupBy("user_id")  # noqa: E731
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.max_by("event_id", F.struct("ts_us", "event_id"))
+                           .alias("last_id")))
+    old_s = agg(ev.join(F.broadcast(cut)).filter(C("event_id") < C("c")))
+    new_s = agg(ev)
+    o = old_s.select(C("user_id").alias("o_uid"), C("n").alias("old_n0"),
+                     C("last_id").alias("o_last"))
+    n = new_s.select(C("user_id").alias("n_uid"), C("n").alias("new_n"),
+                     C("last_id").alias("n_last"))
+    change = (F.when(C("o_uid").isNull(), "insert")
+              .when((C("old_n0") != C("new_n"))
+                    | (C("o_last") != C("n_last")), "update")
+              .otherwise("unchanged"))
+    return (o.join(n, C("o_uid") == C("n_uid"), "full_outer")
+            .select(F.coalesce(C("o_uid"), C("n_uid")).alias("user_id"),
+                    change.alias("change"),
+                    F.coalesce(C("old_n0"), F.lit(0)).cast("bigint")
+                    .alias("old_n"),
+                    C("new_n")))

@@ -982,3 +982,39 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume_d"),
     )
+
+
+# Shared spelling: Spark needs INTERVAL '1' MONTH / STRING where DuckDB
+# takes INTERVAL 1 MONTH / VARCHAR; everything else is identical, so one
+# template serves both engines (month emitted as 'yyyy-MM-dd' text — a
+# DATE column survives the comparison path differently per driver).
+_RCTE_SQL = """
+WITH RECURSIVE months(month_start) AS (
+    SELECT CAST(DATE_TRUNC('month',
+                (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+    UNION ALL
+    SELECT CAST(month_start + {ival} AS DATE) FROM months
+    WHERE month_start < CAST(DATE_TRUNC('month',
+                (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+)
+SELECT CAST(m.month_start AS {str_t}) AS month_start,
+       CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders
+FROM months m
+LEFT JOIN (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS ms,
+                  COUNT(*) AS cnt FROM orders GROUP BY 1) o
+  ON m.month_start = o.ms
+"""
+
+
+@op("q_recursive_cte", oracle=_RCTE_SQL.format(ival="INTERVAL 1 MONTH",
+                                               str_t="VARCHAR"))
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): a month date-spine from min to max
+    order date, left-joined to per-month order counts — the calendar
+    gap-filling pattern that previously needed sequence()+explode. The
+    recursion is driver-bounded (one row per month, ~80 iterations), so
+    the recursive leg never touches the fact table; the counts come from
+    one aggregate scan."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RCTE_SQL.format(ival="INTERVAL '1' MONTH",
+                                      str_t="STRING"))

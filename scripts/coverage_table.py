@@ -29,6 +29,7 @@ SECTIONS = [
         "q_string_agg", "q_percentile", "q_exists", "q_lateral",
         "q_grouping_sets", "q_window_range", "q_join_full", "q_join_cross",
         "q_variant", "q_intersect_all", "q_except_all", "q_window_dist",
+        "q_recursive_cte",
     ]),
     ("Multi-join analytics & MERGE (SURVEY §2.2 joins, generalized)", [
         "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_shipments",
@@ -73,6 +74,7 @@ SECTIONS = [
         "ext_semdedup", "ext_knn_graph", "ext_dedup_containment",
         "ext_pagerank", "ext_data_profile", "ext_bucketed_join",
         "ext_sample_fixed_n", "ext_knn_graph_batch", "ext_word2vec_train",
+        "ext_cdc_changelog",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",
