@@ -370,3 +370,38 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
         F.count(F.lit(1)).cast("int").alias("n_kept"),
         F.md5(F.encode(reassembled, "utf-8")).alias("kept_md5"),
     )
+
+
+@op("ext_pseudonymize", oracle="""
+    SELECT md5('uid:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)                AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                                                   AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+""")
+def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving export: keyed pseudonymization (salted md5 of
+    the user id — same user → same pseudonym, so joins/cohorts still
+    work, but the id is not reversible without the salt) plus temporal
+    coarsening (timestamps → day) — the standard anonymized-share shape
+    (GDPR-style pseudonymisation + generalisation) for handing event data
+    to analysts or external partners.
+
+    Map-only hashing + one aggregate shuffle on the coarsened key; the
+    salt would come from a secret store at deploy time — fixed here so
+    the op is oracle-checkable.
+    """
+    from ..catalog import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir)
+    pseudo = F.md5(F.concat(F.lit("uid:"), C("user_id").cast("string")))
+    return (ev.groupBy(pseudo.alias("user_pseudo"),
+                       F.date_trunc("day", C("ts_us")).cast("date")
+                       .cast("string").alias("day"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
+                  .cast("double") / 100.0).alias("total_value")))
