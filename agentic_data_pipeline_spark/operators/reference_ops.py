@@ -393,3 +393,35 @@ def preview_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """head(10) preview with pinned order (app.py:107,111-113)."""
     li = load_table(spark, sf_dir, "lineitem")
     return preview(li, order_by=["l_orderkey", "l_linenumber"], n=10)
+
+
+@op("ext_partitioned_write", oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_mod,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                                        AS total_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1
+""")
+def ext_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned lake layout: events written partitionBy
+    (event_type) once per lake generation, then read back with a
+    partition-key filter — the scan touches ONLY the matching partition
+    directory (PartitionFilters in the plan; the plan test pins it).
+
+    THE table-layout lever at 100 TB: partition pruning turns a filter on
+    the partition key into a file-listing operation — a query over one
+    event type reads 1/N of the lake before a single row is decoded.
+    Oracle checks the pruned read + aggregate against filtering the raw
+    fixture, proving the layout rewrite is lossless.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _sf_scratch(sf_dir, "partitioned", "events_by_type")
+    _materialize_once(path, lambda: ev.write.mode("overwrite")
+                      .partitionBy("event_type").parquet(path),
+                      _lake_fp(sf_dir, "events"))
+    part = spark.read.parquet(path).filter(C("event_type") == "click")
+    return (part.groupBy((C("user_id") % 10).cast("bigint").alias("user_mod"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
+                  .cast("double") / 100.0).alias("total_value")))

@@ -71,7 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_intersect_all", "q_except_all", "q_window_dist", "ext_data_profile",
     "ext_bucketed_join", "ext_histogram_rollup", "ext_sample_fixed_n",
     "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
-    "ext_cdc_changelog", "ext_pseudonymize",
+    "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.

@@ -324,3 +324,13 @@ def test_bucketed_join_no_join_side_exchange(spark):
     assert "hashpartitioning(l_orderkey" not in p
     assert "hashpartitioning(o_orderkey" not in p
     assert "EvalPython" not in p
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """The partition-key filter must become a PartitionFilter (pruned at
+    file listing), not a row-level data filter."""
+    p = plan_of(spark, "ext_partitioned_write")
+    assert "PartitionFilters" in p
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1)
