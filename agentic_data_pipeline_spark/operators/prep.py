@@ -405,3 +405,80 @@ def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
                   .cast("double") / 100.0).alias("total_value")))
+
+
+@op("ext_training_prep_pipeline", oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+                   w -> w <> '') AS words
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, text,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               (CAST(list_sum(list_transform(words,
+                   w -> list_reduce(list_transform(string_split(substring(
+                            md5(w), 1, 8), ''),
+                            c -> CAST(strpos('0123456789abcdef', c) - 1
+                                      AS BIGINT)),
+                        (a, b) -> a * 16 + b) % 1001)) AS DOUBLE)
+                / NULLIF(len(words), 0) - 500.0) / 500.0 AS score
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, text, n_tokens FROM scored
+        WHERE score >= -0.04 AND n_tokens >= 10
+    ), dedup AS (
+        SELECT doc_id, n_tokens FROM kept
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1
+    )
+    SELECT CAST(list_reduce(list_transform(string_split(substring(md5(
+               CAST(doc_id AS VARCHAR)), 1, 8), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 16 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)  AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT)    AS min_doc
+    FROM dedup
+    GROUP BY 1
+""")
+def ext_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composed from the round-4 ops:
+    model-based quality filter (hashing-trick classifier score + length
+    floor) → exact dedup (min-doc_id survivor per content fingerprint) →
+    deterministic shard assignment → per-shard manifest stats. The whole
+    composition is ONE oracle query, so the driver hash-checks the
+    pipeline — not just its stages.
+
+    Plan: classifier + fingerprint are map-only on the scan; dedup is the
+    one corpus shuffle (window on fingerprint); the shard stats aggregate
+    is map-side combined. Threshold -0.04 sits just below the score
+    distribution's center so the filter genuinely drops docs at every SF
+    (a 0-survivor or all-survivor pipeline would make the check vacuous).
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    words = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
+    bucket = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)  # noqa: E731
+                        .cast("bigint") % 1001)
+    n = F.size(words).cast("bigint")
+    score = (F.aggregate(F.transform(words, bucket),
+                         F.lit(0).cast("bigint"), lambda a, x: a + x)
+             .cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
+        / F.lit(500.0)
+    scored = docs.select("doc_id", "text", n.alias("n_tokens"),
+                         score.alias("score"))
+    kept = scored.filter((C("score") >= -0.04) & (C("n_tokens") >= 10))
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
+                        "utf-8"))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    dedup = (kept.withColumn("__rn", F.row_number().over(w))
+             .filter(C("__rn") == 1))
+    return (dedup.groupBy(hash_bucket(C("doc_id"), 16).alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.min("doc_id").alias("min_doc")))

@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bucketed_join", "ext_histogram_rollup", "ext_sample_fixed_n",
     "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
     "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
+    "ext_training_prep_pipeline",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.
