@@ -74,3 +74,51 @@ def test_jaccard_reference_properties(texts):
             assert 0.0 <= j <= 1.0 and j == jb
         if a:
             assert len(a & a) / len(a | a) == 1.0
+
+
+# Arbitrary token-ish strings (ascii, no quotes — they go into SQL literals)
+token_text = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126,
+                           blacklist_characters="'\\\""),
+    min_size=1, max_size=40,
+)
+
+
+@given(st.lists(token_text, min_size=1, max_size=20, unique=True),
+       st.sampled_from([16, 100, 1001, 10_000]))
+@settings(max_examples=50, deadline=None)
+def test_duck_bucket_decode_matches_md5_semantics(tokens, buckets):
+    """The DuckDB list_reduce hex-decode in _duck_bucket must equal
+    int(md5(s)[:8], 16) % buckets for ANY string — the engine-portability
+    kernel every sampling/sharding/classifier oracle stands on (a wrong
+    decode would silently diverge only on inputs whose hash hits the
+    affected hex digit)."""
+    import hashlib
+
+    import duckdb
+
+    from agentic_data_pipeline_spark.operators.sampling import _duck_bucket
+
+    con = duckdb.connect()
+    for t in tokens:
+        expect = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+        got = con.execute(
+            f"SELECT {_duck_bucket(f'''{t!r}''', buckets)}").fetchone()[0]
+        assert got == expect, (t, buckets)
+
+
+@given(st.lists(st.tuples(st.integers(0, 1_000_000),
+                          st.integers(0, 50)),  # (id, sim-rank bucket)
+                min_size=2, max_size=30, unique_by=lambda x: x[0]))
+@settings(max_examples=200, deadline=None)
+def test_knn_batch_lexsort_tiebreak_matches_sql_ordering(pairs):
+    """np.lexsort((ids, -sims)) — the BLAS twin's top-k ordering — must
+    equal ORDER BY sim DESC, id ASC (the oracle-checked window ordering)
+    including under heavy sim ties."""
+    import numpy as np
+
+    ids = np.array([p[0] for p in pairs])
+    sims = np.array([p[1] / 10.0 for p in pairs])  # coarse -> many ties
+    lex = list(np.lexsort((ids, -sims)))
+    ref = sorted(range(len(pairs)), key=lambda i: (-sims[i], ids[i]))
+    assert lex == ref
