@@ -341,10 +341,10 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(a.grams), 6) AS containment_a_in_b,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(b.grams), 6) AS containment_b_in_a
+           FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(a.grams) * 1e6) / 1e6 AS containment_a_in_b,
+           FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(b.grams) * 1e6) / 1e6 AS containment_b_in_a
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """)
 def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,10 +367,13 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, C("b_id") == C("a_id") + 1)
         .select("a_id", "b_id",
                 inter.cast("bigint").alias("n_common"),
-                F.round(inter.cast("double") / F.size(C("a_g")), 6)
-                .alias("containment_a_in_b"),
-                F.round(inter.cast("double") / F.size(C("b_g")), 6)
-                .alias("containment_b_in_a"))
+                # FLOOR-truncate: gram-count rationals can hit decimal
+                # halves where Spark (repr HALF_UP) and DuckDB (numeric)
+                # round apart; floor on identical doubles cannot.
+                (F.floor(inter.cast("double") / F.size(C("a_g")) * 1e6)
+                 / 1e6).alias("containment_a_in_b"),
+                (F.floor(inter.cast("double") / F.size(C("b_g")) * 1e6)
+                 / 1e6).alias("containment_b_in_a"))
     )
 
 

@@ -964,8 +964,8 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op("q_window_dist", oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 9)    AS cume_d
+           FLOOR(PERCENT_RANK() OVER w * 1e9) / 1e9 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1e9) / 1e9    AS cume_d
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice DESC, o_orderkey)
@@ -973,14 +973,16 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows (percent_rank / cume_dist) with a unique
     tiebreaker so both engines agree row-for-row; both are rank/count
-    ratios, so the doubles are identical before the ROUND."""
+    ratios, so the doubles are identical — FLOOR-truncated rather than
+    rounded because Spark rounds doubles via decimal repr (HALF_UP)
+    while DuckDB rounds numerically, which can split rational halves."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         C("o_totalprice").desc(), C("o_orderkey"))
     return orders.select(
         "o_orderkey", "o_orderpriority",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume_d"),
+        (F.floor(F.percent_rank().over(w) * 1e9) / 1e9).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1e9) / 1e9).alias("cume_d"),
     )
 
 

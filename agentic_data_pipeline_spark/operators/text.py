@@ -200,8 +200,8 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     )
     SELECT doc_id, n_tokens,
-           ROUND((CAST(sum_w AS DOUBLE) / NULLIF(n_tokens, 0) - 500.0)
-                 / 500.0, 6) AS score,
+           FLOOR((CAST(sum_w AS DOUBLE) / NULLIF(n_tokens, 0) - 500.0)
+                 / 500.0 * 1e6) / 1e6 AS score,
            CASE WHEN (CAST(sum_w AS DOUBLE) / NULLIF(n_tokens, 0) - 500.0)
                      / 500.0 >= 0 THEN 'keep' ELSE 'drop' END AS label
     FROM scored
@@ -239,9 +239,14 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(words).cast("bigint")
     score = (sum_w.cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
         / F.lit(500.0)
+    # FLOOR-truncate, not ROUND: Spark rounds doubles via the shortest
+    # DECIMAL repr (HALF_UP on Double.toString) while DuckDB rounds
+    # numerically, so a rational score whose repr ends in "...5" can split
+    # engines in the last digit (2 of 50k docs at sf0.1 did). floor on
+    # bit-identical doubles is bit-identical.
     return docs.select(
         "doc_id", n.alias("n_tokens"),
-        F.round(score, 6).alias("score"),
+        (F.floor(score * 1e6) / 1e6).alias("score"),
         F.when(score >= 0, "keep").otherwise("drop").alias("label"))
 
 
