@@ -261,7 +261,7 @@ def ext_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n) AS BIGINT)            AS max_key_rows,
            ROUND(quantile_cont(n, 0.5), 6)   AS p50_key_rows,
            ROUND(quantile_cont(n, 0.99), 6)  AS p99_key_rows,
-           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6)
+           FLOOR(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) * 1e6) / 1e6
                                              AS skew_factor
     FROM k
 """)
@@ -288,8 +288,9 @@ def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_key_rows"),
         F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_key_rows"),
         F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_key_rows"),
-        F.round(F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"),
-                6).alias("skew_factor"),
+        # floor, not round: int-ratio skew factor (see text.py note)
+        (F.floor(F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n")
+                 * 1e6) / 1e6).alias("skew_factor"),
     )
 
 

@@ -306,9 +306,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 200
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / (len(a.grams) + len(b.grams)
-                    - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+                    - len(list_intersect(a.grams, b.grams))) * 1e6) / 1e6
+               AS jaccard
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """)
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +322,9 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, C("b_id") == C("a_id") + 1)
         .select("a_id", "b_id",
-                F.round(jaccard(C("a_g"), C("b_g")), 6).alias("jaccard"))
+                # floor, not round: int/int ratio (see text.py note)
+                (F.floor(jaccard(C("a_g"), C("b_g")) * 1e6) / 1e6)
+                .alias("jaccard"))
     )
 
 

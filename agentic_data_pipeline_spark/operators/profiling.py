@@ -181,9 +181,9 @@ RARE_DENOM = 256  # bigram is "rare" when P(w2|w1) < 1/256, tested in integers
            CAST(SUM(d.dn) AS BIGINT) AS n_bigrams,
            CAST(SUM(CASE WHEN bc.c * {RARE_DENOM} < uc.cu
                          THEN d.dn ELSE 0 END) AS BIGINT) AS n_rare,
-           ROUND(CAST(SUM(CASE WHEN bc.c * {RARE_DENOM} < uc.cu
+           FLOOR(CAST(SUM(CASE WHEN bc.c * {RARE_DENOM} < uc.cu
                                THEN d.dn ELSE 0 END) AS DOUBLE)
-                 / SUM(d.dn), 6) AS rare_ratio
+                 / SUM(d.dn) * 1e6) / 1e6 AS rare_ratio
     FROM dc d
     JOIN bc ON bc.w1 = d.w1 AND bc.w2 = d.w2
     JOIN uc ON uc.w1 = d.w1
@@ -226,8 +226,9 @@ def ext_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("dn").alias("n_bigrams"),
              F.sum(rare_dn).alias("n_rare"),
-             F.round(F.sum(rare_dn).cast("double") / F.sum("dn"), 6)
-             .alias("rare_ratio"))
+             # floor, not round: int/int ratio (see text.py note)
+             (F.floor(F.sum(rare_dn).cast("double") / F.sum("dn") * 1e6)
+              / 1e6).alias("rare_ratio"))
     )
 
 

@@ -231,9 +231,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_custkey,
            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
                 AS DOUBLE) / 100.0                           AS moving_sum,
-           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
+           FLOOR(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w
                       AS DOUBLE) / 100.0
-                 / COUNT(*) OVER w, 6)                       AS moving_avg
+                 / COUNT(*) OVER w * 1e6) / 1e6              AS moving_avg
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
@@ -253,7 +253,8 @@ def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         msum.alias("moving_sum"),
-        F.round(msum / cnt, 6).alias("moving_avg"),
+        # floor, not round: cents/count rational (see text.py note)
+        (F.floor(msum / cnt * 1e6) / 1e6).alias("moving_avg"),
     )
 
 

@@ -69,10 +69,11 @@ def _duck_hits(markers: list[str]) -> str:
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT)    AS n_words,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT)
                AS n_punct,
-           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-                 / LENGTH(text), 6)                                   AS punct_ratio,
-           ROUND(CAST(LENGTH(text) AS DOUBLE)
-                 / len(string_split_regex(trim(text), '\s+')), 6)     AS chars_per_word
+           FLOOR(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / LENGTH(text) * 1e6) / 1e6                          AS punct_ratio,
+           FLOOR(CAST(LENGTH(text) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+')) * 1e6) / 1e6
+                                                                      AS chars_per_word
     FROM documents
 """)
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,8 +90,16 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         n_punct.alias("n_punct"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
-        F.round(n_chars.cast("double") / n_words, 6).alias("chars_per_word"),
+        # FLOOR-truncate all displayed int/int ratios (here and below):
+        # Spark round() on doubles is decimal-repr HALF_UP while DuckDB
+        # rounds numerically, so a quotient whose shortest repr ends in
+        # "...5" past the scale can split engines (seen live: 2 of 50k
+        # classifier scores at sf0.1). floor(x*1e6)/1e6 on bit-identical
+        # doubles cannot.
+        (F.floor(n_punct.cast("double") / n_chars * 1e6) / 1e6)
+        .alias("punct_ratio"),
+        (F.floor(n_chars.cast("double") / n_words * 1e6) / 1e6)
+        .alias("chars_per_word"),
     )
 
 
@@ -169,7 +178,7 @@ def quality_expr(text_col: Column) -> Column:
 
 
 @op("ext_quality_score", oracle=f"""
-    SELECT doc_id, ROUND({QUALITY_SQL}, 6) AS quality
+    SELECT doc_id, FLOOR({QUALITY_SQL} * 1e6) / 1e6 AS quality
     FROM documents
 """)
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +187,8 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression on both engines → bit-stable before the ROUND)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id",
-                       F.round(quality_expr(C("text")), 6).alias("quality"))
+                       (F.floor(quality_expr(C("text")) * 1e6) / 1e6)
+                       .alias("quality"))
 
 
 @op("ext_quality_classifier", oracle=r"""
@@ -343,8 +353,8 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_words AS INT) AS n_words,
-           ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-                 / len(bigrams), 6) AS dup_bigram_frac,
+           FLOOR((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams)) * 1e6) / 1e6 AS dup_bigram_frac,
            (1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
                  / len(bigrams)) > 0.2 AS is_repetitive
     FROM grams
@@ -373,7 +383,7 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n.cast("int").alias("n_words"),
-        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        (F.floor(dup_frac * 1e6) / 1e6).alias("dup_bigram_frac"),
         (dup_frac > 0.2).alias("is_repetitive"),
     )
 
@@ -463,7 +473,7 @@ def ext_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op("ext_group_topk", oracle=f"""
-    SELECT lang, source, doc_id, ROUND({QUALITY_SQL}, 6) AS quality
+    SELECT lang, source, doc_id, FLOOR({QUALITY_SQL} * 1e6) / 1e6 AS quality
     FROM documents
     QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source
                                ORDER BY {QUALITY_SQL} DESC, doc_id) <= 3
@@ -483,7 +493,7 @@ def ext_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang", "source").orderBy(q.desc(), "doc_id")
     return (
         docs.select("lang", "source", "doc_id",
-                    F.round(q, 6).alias("quality"),
+                    (F.floor(q * 1e6) / 1e6).alias("quality"),
                     F.row_number().over(w).alias("rn"))
         .filter(C("rn") <= 3)
         .drop("rn")
