@@ -73,6 +73,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
     "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
     "ext_training_prep_pipeline",
+    # --- values changed in r4 (floor-truncation hardening of displayed
+    # int-ratios): re-evidence under this round's driver budget even
+    # though earlier rounds recorded green rows for the old values.
+    "ext_text_stats", "ext_quality_score", "ext_repetition",
+    "ext_group_topk", "ext_dedup_ngram", "ext_rare_bigrams",
+    "q_window_agg",
     # --- everything below is driver-evidenced green in r1/r2/r3
     # (CORRECTNESS files); stays registered + locally parity-swept and
     # sorts after the frontier.
@@ -91,7 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_domain_mix",
     "ext_dedup_embedding", "ext_ann_ivf", "vector_search_batch", "ext_ann_pq",
     "ext_ann_lsh", "ext_kmeans_clusters", "ext_similarity_topk_batch",
-    "ext_zorder_cluster", "ext_rare_bigrams", "ext_scd2_history",
+    "ext_zorder_cluster", "ext_scd2_history",
     "ext_resize", "stream_dedup_watermark",
     # Round-1/2 green
     "ext_inverted_index",
@@ -102,7 +108,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rule_remove_outliers", "rule_top_performers",
     "vector_index", "vector_search", "ext_similarity_topk",
     "q_project", "q_filter", "q_regex_filter", "q_topk", "q_agg", "q_groupby",
-    "q_rollup", "q_window_rank", "q_window_agg", "q_join_inner", "q_join_left",
+    "q_rollup", "q_window_rank", "q_join_inner", "q_join_left",
     "q_join_semi", "q_join_anti", "q_union", "q_intersect", "q_except",
     "q_distinct", "q_cte", "q_str_funcs", "q_date_funcs", "q_math_funcs",
     "q_case_when", "q_array_funcs", "q_tumble",
