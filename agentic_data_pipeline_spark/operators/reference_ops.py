@@ -425,3 +425,34 @@ def ext_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
                   .cast("double") / 100.0).alias("total_value")))
+
+
+@op("ingest_json_multiline", oracle="SELECT * FROM nation")
+def ingest_json_multiline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → ONE standard JSON array document → multiLine read.
+
+    The reference's pandas read_json consumes standard JSON (an array of
+    records), not JSON-lines (engine.py:21-37 dispatch) — ingest_json
+    covers the splittable JSONL form; this covers the
+    pandas-compatibility form via the reader's multiLine mode. Trade
+    documented: a multiLine JSON document is NOT splittable (one task
+    per file), so at scale it is the upload/interop format, never the
+    lake format — the op exists so reference users' existing files work.
+    """
+    import json as _json
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch(os.path.basename(os.path.normpath(sf_dir)),
+                    "ingest_json_ml", "nation_array.json")
+
+    def write() -> None:
+        rows = [r.asDict() for r in nation.collect()]  # 25 rows: driver-ok
+        tmp = path + ".part"
+        with open(tmp, "w") as f:
+            _json.dump(rows, f)
+        os.replace(tmp, path)
+
+    _materialize_once(path, write, _lake_fp(sf_dir, "nation"))
+    return (spark.read.schema(nation.schema)
+            .option("multiLine", "true").json(path)
+            .select(*[f.name for f in nation.schema.fields]))

@@ -72,7 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bucketed_join", "ext_histogram_rollup", "ext_sample_fixed_n",
     "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
     "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
-    "ext_training_prep_pipeline",
+    "ext_training_prep_pipeline", "ingest_json_multiline",
     # --- values changed in r4 (floor-truncation hardening of displayed
     # int-ratios): re-evidence under this round's driver budget even
     # though earlier rounds recorded green rows for the old values.

@@ -14,7 +14,7 @@ from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
 SECTIONS = [
     ("Reference concrete ops (SURVEY §2.1)", [
         "ingest_csv", "ingest_excel", "ingest_json", "ingest_pdf",
-        "ingest_orc", "ingest_text", "ingest_xml",
+        "ingest_orc", "ingest_text", "ingest_xml", "ingest_json_multiline",
         "ingest_error", "write_bronze", "read_bronze", "sql_exec",
         "vector_index", "vector_search", "nl_transform", "nl_fallback",
         "serve_json", "serve_csv", "viz_bar", "preview",
