@@ -145,10 +145,22 @@ def main() -> None:
         "",
     ]
     total_oracle = n_pass = 0
+    import inspect
+
+    def anchor(fn) -> str:
+        """repo-relative file:line of the op implementation (audit anchor)."""
+        try:
+            src = os.path.relpath(inspect.getsourcefile(fn),
+                                  os.path.dirname(os.path.dirname(
+                                      os.path.abspath(__file__))))
+            return f"{src}:{inspect.getsourcelines(fn)[1]}"
+        except (OSError, TypeError):
+            return ""
+
     for title, ops in SECTIONS:
         lines += [f"## {title}", "",
-                  "| op id | verification | driver evidence | summary |",
-                  "|---|---|---|---|"]
+                  "| op id | verification | driver evidence | impl | summary |",
+                  "|---|---|---|---|---|"]
         for op_id in ops:
             op = OPS[op_id]
             mode = "oracle" if op.oracle else "rows-only"
@@ -156,7 +168,8 @@ def main() -> None:
             ev = evidence.get(op_id, "queued")
             n_pass += ev.startswith("pass")
             doc = (op.doc.splitlines()[0] if op.doc else "").rstrip(".")
-            lines.append(f"| `{op_id}` | {mode} | {ev} | {doc} |")
+            lines.append(f"| `{op_id}` | {mode} | {ev} | {anchor(op.fn)} "
+                         f"| {doc} |")
         lines.append("")
     lines.append(
         f"**Totals: {len(OPS)} ops; {total_oracle} oracle-checked, "
