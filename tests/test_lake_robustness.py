@@ -151,3 +151,22 @@ def test_documents_text_ascii_precondition():
         ).fetchone()
         assert not bad, f"{sf}: {bad} non-ASCII documents.text rows"
         assert not nul, f"{sf}: {nul} trailing-NUL documents.text rows"
+
+
+def test_stream_upsert_reads_nanos_lake(spark, tmp_path):
+    """stream_upsert (split-dir write → streaming read → foreachBatch
+    merges) must produce the identical final state from an INT64-nanos
+    events lake as from the µs TIMESTAMP lake — every hop (load_table,
+    repartitionByRange on ts, footer-sniffed stream schema, ts_us_long)
+    has to tolerate the variant."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    nanos_sf = str(tmp_path / "nanos_sf")
+    _write_nanos_events(os.path.join(nanos_sf, "events.parquet"), spark)
+
+    us = {tuple(r) for r in
+          OPS["stream_upsert"].fn(spark, "/root/testdata/sf0.001").collect()}
+    ns = {tuple(r) for r in
+          OPS["stream_upsert"].fn(spark, nanos_sf).collect()}
+    assert us == ns and us
