@@ -264,3 +264,72 @@ def ext_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", "lang", "source",
                         F.md5(C("doc_id").cast("string")).alias("__k"))
             .orderBy("__k", "doc_id").limit(100).drop("__k"))
+
+
+# --- Temperature-based multilingual resampling -------------------------
+#
+# XLM-R / mT5-style language balancing: sample language l with
+# probability ∝ n_l^α (α<1 flattens the distribution so high-resource
+# languages stop dominating). α=0.5 here, which keeps every quantity
+# ENGINE-EXACT: IEEE-754 sqrt is correctly rounded (unlike pow), so
+# FLOOR(SQRT(n)) is bit-identical in Spark and DuckDB, and everything
+# downstream is integer arithmetic.
+
+TEMP_TARGET_BP = 4000  # sample ~40% of the corpus overall
+
+
+@op("ext_temperature_sample", oracle=f"""
+    WITH cnt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(FLOOR(SUM(n_total) * {TEMP_TARGET_BP} / 10000.0)
+                    AS BIGINT) AS t,
+               CAST(SUM(s) AS BIGINT) AS sum_s
+        FROM cnt
+    ), rates AS (
+        SELECT lang, n_total,
+               CAST(LEAST(10000, FLOOR(FLOOR(t * s / sum_s) * 10000.0
+                                       / n_total)) AS BIGINT) AS keep_bp
+        FROM cnt, tot
+    )
+    SELECT r.lang, r.n_total, r.keep_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {{bucket}} < r.keep_bp
+    GROUP BY 1, 2, 3
+""".replace("{bucket}", _duck_bucket("d.doc_id", 10_000)))
+def ext_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual resampling (α=0.5): per-language
+    keep-rates ∝ sqrt(n_lang), normalized to a 40% corpus budget and
+    clamped at 100% — rare languages keep (relatively) more, dominant
+    ones are downsampled, the standard balancing pass before multilingual
+    tokenizer/LM training. Deterministic md5-bucket row filter like every
+    sampling op (rerun/retry-stable); the language stats table is tiny
+    and BROADCASTS into the row filter — one aggregate + one map pass
+    over the corpus at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_total"))
+           .withColumn("s", F.floor(F.sqrt(C("n_total").cast("double")))
+                       .cast("bigint")))
+    # explicit FLOOR before the bigint cast: Spark's double->bigint cast
+    # truncates while DuckDB's rounds, so a corpus whose 40% budget is
+    # fractional would silently split without it.
+    tot = cnt.agg(
+        F.floor(F.sum("n_total") * TEMP_TARGET_BP / 10_000.0)
+        .cast("bigint").alias("t"),
+        F.sum("s").cast("bigint").alias("sum_s"))
+    rates = (cnt.join(F.broadcast(tot))
+             .withColumn("keep_bp",
+                         F.least(F.lit(10_000),
+                                 F.floor(F.floor(C("t") * C("s") / C("sum_s"))
+                                         * 10_000.0 / C("n_total")))
+                         .cast("bigint"))
+             .select("lang", "n_total", "keep_bp"))
+    return (docs.join(F.broadcast(rates), "lang")
+            .filter(hash_bucket(C("doc_id"), 10_000) < C("keep_bp"))
+            .groupBy("lang", "n_total", "keep_bp")
+            .agg(F.count(F.lit(1)).alias("n_kept")))

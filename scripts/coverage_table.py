@@ -75,7 +75,7 @@ SECTIONS = [
         "ext_pagerank", "ext_data_profile", "ext_bucketed_join",
         "ext_sample_fixed_n", "ext_knn_graph_batch", "ext_word2vec_train",
         "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
-        "ext_training_prep_pipeline",
+        "ext_training_prep_pipeline", "ext_temperature_sample",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",
