@@ -456,3 +456,37 @@ def ingest_json_multiline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.schema(nation.schema)
             .option("multiLine", "true").json(path)
             .select(*[f.name for f in nation.schema.fields]))
+
+
+@op("ingest_schema_evolution", oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS VARCHAR) AS batch_tag
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey,
+           'v2' AS batch_tag
+    FROM nation
+""")
+def ingest_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: batch 1 lands with the original
+    nation schema, batch 2 adds a column (`batch_tag`); a mergeSchema
+    read unifies them — old rows surface NULL for the new column, no
+    rewrite of historical files. The day-2 lake reality (producers add
+    fields) handled the parquet-native way; the oracle is the UNION with
+    an explicit NULL, so hash parity proves the merged read is exactly
+    additive. At scale: schema merge is a footer-only operation per
+    file — no data pass.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    path = _sf_scratch(sf_dir, "schema_evo", "nation_batches")
+
+    def write() -> None:
+        nation.write.mode("overwrite").parquet(os.path.join(path, "b1"))
+        (nation.withColumn("batch_tag", F.lit("v2"))
+         .write.mode("overwrite").parquet(os.path.join(path, "b2")))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    _materialize_once(path, write, _lake_fp(sf_dir, "nation"))
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(path, "b1"), os.path.join(path, "b2"))
+            .select("n_nationkey", "n_name", "n_regionkey", "batch_tag"))

@@ -333,3 +333,80 @@ def ext_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(hash_bucket(C("doc_id"), 10_000) < C("keep_bp"))
             .groupBy("lang", "n_total", "keep_bp")
             .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+UPSAMPLE_TARGET_BP = 12_000  # 120% budget: rare languages really upsample
+
+
+@op("ext_upsample_repeat", oracle=f"""
+    WITH cnt AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(FLOOR(SUM(n_total) * {UPSAMPLE_TARGET_BP} / 10000.0)
+                    AS BIGINT) AS t,
+               CAST(SUM(s) AS BIGINT) AS sum_s
+        FROM cnt
+    ), quotas AS (
+        SELECT lang, n_total,
+               CAST(FLOOR(t * s / sum_s) AS BIGINT) AS quota
+        FROM cnt, tot
+    ), rates AS (
+        SELECT lang, n_total, quota,
+               quota // n_total AS full_copies,
+               CAST(FLOOR((quota - (quota // n_total) * n_total) * 10000.0
+                          / n_total) AS BIGINT) AS rem_bp
+        FROM quotas
+    )
+    SELECT r.lang, r.n_total, r.quota,
+           CAST(r.n_total * r.full_copies
+                + SUM(CASE WHEN {{bucket}} < r.rem_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_emitted
+    FROM documents d JOIN rates r USING (lang)
+    GROUP BY 1, 2, 3, r.full_copies
+""".replace("{bucket}", _duck_bucket("d.doc_id", 10_000)))
+def ext_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor upsampling: the other half of temperature balancing
+    (ext_temperature_sample clamps keep-rates at 100% because a row
+    FILTER cannot upsample). Under a 120% budget each language's
+    sqrt-temperature quota becomes `full` whole copies of every doc plus
+    an md5-bucket-selected remainder copy — deterministic epoch
+    repetition, the standard way premium/rare data is over-represented
+    in training mixtures.
+
+    The op actually EMITS the repeated rows (explode over a per-row copy
+    count — map-side, no shuffle until the stats aggregate) and the
+    oracle computes the expected emission arithmetically, so hash parity
+    proves the emission logic, not just the quota math. All quantities
+    are integers (IEEE-exact sqrt, explicit FLOOR) — engine-exact by
+    construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_total"))
+           .withColumn("s", F.floor(F.sqrt(C("n_total").cast("double")))
+                       .cast("bigint")))
+    tot = cnt.agg(
+        F.floor(F.sum("n_total") * UPSAMPLE_TARGET_BP / 10_000.0)
+        .cast("bigint").alias("t"),
+        F.sum("s").cast("bigint").alias("sum_s"))
+    rates = (cnt.join(F.broadcast(tot))
+             .withColumn("quota",
+                         F.floor(C("t") * C("s") / C("sum_s")).cast("bigint"))
+             .withColumn("full_copies", (C("quota") / C("n_total"))
+                         .cast("bigint"))
+             .withColumn("rem_bp",
+                         F.floor((C("quota") - C("full_copies") * C("n_total"))
+                                 * 10_000.0 / C("n_total")).cast("bigint"))
+             .select("lang", "n_total", "quota", "full_copies", "rem_bp"))
+    copies = (C("full_copies")
+              + F.when(hash_bucket(C("doc_id"), 10_000) < C("rem_bp"), 1)
+              .otherwise(0)).cast("int")
+    emitted = (docs.join(F.broadcast(rates), "lang")
+               .withColumn("__n", copies)
+               .withColumn("__rep", F.explode(
+                   F.when(C("__n") > 0, F.sequence(F.lit(1), C("__n")))
+                   .otherwise(F.array()))))
+    return (emitted.groupBy("lang", "n_total", "quota")
+            .agg(F.count(F.lit(1)).alias("n_emitted")))

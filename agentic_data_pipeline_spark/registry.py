@@ -73,7 +73,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
     "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
     "ext_training_prep_pipeline", "ingest_json_multiline",
-    "ext_temperature_sample",
+    "ext_temperature_sample", "ext_upsample_repeat",
+    "ingest_schema_evolution",
     # --- values changed in r4 (floor-truncation hardening of displayed
     # int-ratios): re-evidence under this round's driver budget even
     # though earlier rounds recorded green rows for the old values.

@@ -15,6 +15,7 @@ SECTIONS = [
     ("Reference concrete ops (SURVEY §2.1)", [
         "ingest_csv", "ingest_excel", "ingest_json", "ingest_pdf",
         "ingest_orc", "ingest_text", "ingest_xml", "ingest_json_multiline",
+        "ingest_schema_evolution",
         "ingest_error", "write_bronze", "read_bronze", "sql_exec",
         "vector_index", "vector_search", "nl_transform", "nl_fallback",
         "serve_json", "serve_csv", "viz_bar", "preview",
@@ -76,6 +77,7 @@ SECTIONS = [
         "ext_sample_fixed_n", "ext_knn_graph_batch", "ext_word2vec_train",
         "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
         "ext_training_prep_pipeline", "ext_temperature_sample",
+        "ext_upsample_repeat",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",
