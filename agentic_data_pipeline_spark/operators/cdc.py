@@ -351,17 +351,38 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from .reference_ops import _sf_scratch
+    from .reference_ops import _lake_fp, _sf_scratch
 
     names = {}
     for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
         name = f"b_{t}_{tag}"
-        if not spark.catalog.tableExists(name):
+        path = _sf_scratch(sf_dir, "bucketed", name)
+        # Cache keyed on (catalog entry, source fingerprint): tableExists
+        # alone would serve stale prior-generation bytes if the lake is
+        # regenerated within a session (the hazard _lake_fp documents) —
+        # the sidecar is written LAST so a crash mid-write never leaves a
+        # valid-looking marker (same protocol as _materialize_once).
+        fp = _lake_fp(sf_dir, t)
+        sidecar = path + ".fpr"
+        fresh = False
+        if spark.catalog.tableExists(name):
+            if os.path.isfile(sidecar):
+                with open(sidecar) as f:
+                    fresh = f.read() == fp
+            if not fresh:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if not fresh:
+            if os.path.isfile(sidecar):
+                os.remove(sidecar)
             (load_table(spark, sf_dir, t).write.mode("overwrite")
              .bucketBy(8, key).sortBy(key)
-             .option("path", _sf_scratch(sf_dir, "bucketed", name))
+             .option("path", path)
              .saveAsTable(name))
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(fp)
+            os.replace(tmp, sidecar)
         names[t] = name
     li, o = spark.table(names["lineitem"]), spark.table(names["orders"])
     return (li.hint("merge")

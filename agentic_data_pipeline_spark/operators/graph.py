@@ -4,8 +4,9 @@ Graph-based curation ranks documents by centrality in a similarity graph
 (e.g. sampling hubs, down-weighting orphan spam) — the edge list comes
 from ext_knn_graph / LSH candidates; this module runs the iterative
 algorithms on it. Same distributed-iteration shape as k-means / BPE /
-connected components: one big joined aggregate per round + a tiny driver
-step, lineage cut per round.
+connected components: one big joined aggregate per round, lineage cut per
+round — and NO per-round driver sync: the dangling mass rides along as a
+1-row broadcast inside the same plan.
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import op
+from .similarity import _KNN_GRAPH_ORACLE
 
 C = F.col
 
@@ -27,8 +29,10 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
     Per round: contributions = edges ⋈ ranks, aggregated per dst — ONE
     shuffle on dst (map-side combined) plus the rank-update join on id;
     out-degree weights are precomputed once. Dangling mass (vertices with
-    no out-edges) is a 1-row aggregate redistributed uniformly — the same
-    tiny-driver-step pattern as the CC fixpoint / BPE argmax.
+    no out-edges) is a 1-row aggregate that CROSS-JOINS (broadcast) into
+    the rank update — part of the same distributed plan, zero driver
+    round-trips per iteration (the r4 nit: a scalar `.collect()` per
+    round cost 10 extra driver-synced jobs for nothing).
     localCheckpoint cuts the per-round lineage. At 100 TB-corpus graph
     sizes the state is two (id, double) tables partitioned on id; rounds
     are fixed-count, so the whole run is `iters` bounded shuffles.
@@ -42,15 +46,19 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
     ranks = vertices.select(C("id"), F.lit(1.0 / n).alias("rank")) \
         .localCheckpoint()
     for _ in range(iters):
-        dangling = (ranks.join(has_out, C("id") == C("src"), "left_anti")
-                    .agg(F.sum("rank")).collect()[0][0] or 0.0)
+        dang = (ranks.join(has_out, C("id") == C("src"), "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
         contribs = (w_edges.join(ranks, C("src") == C("id"))
                     .groupBy("dst")
                     .agg(F.sum(C("rank") * C("w")).alias("contrib")))
-        base = (1.0 - damping) / n + damping * dangling / n
+        # base = (1-d)/n + d*dang/n, evaluated in the same left-to-right
+        # double arithmetic as the oracle's recursive step.
+        base = (F.lit((1.0 - damping) / n)
+                + F.lit(damping) * C("__dang") / F.lit(float(n)))
         ranks = (vertices.join(contribs, C("id") == C("dst"), "left")
+                 .crossJoin(F.broadcast(dang))
                  .select("id",
-                         (F.lit(base)
+                         (base
                           + F.lit(damping) * F.coalesce(C("contrib"),
                                                         F.lit(0.0)))
                          .alias("rank"))
@@ -58,14 +66,54 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
     return ranks
 
 
-@op("ext_pagerank")  # rows-only: float contributions sum in engine-local
-                     # order; pytest pins every rank against a pure-Python
-                     # power iteration on the same edge list (1e-9)
+# The oracle replays the SAME fixed-count power iteration as a bounded
+# recursive CTE: per step, per-dst contribution sums + the dangling mass,
+# exactly the op's update rule. Edge list = the hash-green ext_knn_graph
+# oracle; MATERIALIZED pins the expensive self-join to one evaluation.
+# Ranks are displayed floor(x*1e9 + 1e-3)/1e9 on both engines: the scaled
+# epsilon (1e-12 on the value) absorbs the last-ulp summation-order noise
+# between Spark's shuffle-order sums and DuckDB's scan-order sums, which
+# sits ~1e-19 absolute after 10 damped iterations.
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE
+edges AS MATERIALIZED (
+    SELECT vec_id AS src, neighbor_id AS dst FROM ({_KNN_GRAPH_ORACLE})
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+pr(iter, id, rank) AS (
+    SELECT 0, vec_id, 1.0 / nn.n FROM embeddings, nn
+    UNION ALL
+    SELECT p.iter + 1, p.id,
+           ((1.0 - 0.85) / nn.n + 0.85 * dg.dang / nn.n)
+             + 0.85 * COALESCE(c.contrib, 0.0)
+    FROM pr p
+    CROSS JOIN nn
+    CROSS JOIN (SELECT COALESCE(SUM(p2.rank), 0.0) AS dang
+                FROM pr p2 LEFT JOIN deg d ON d.src = p2.id
+                WHERE d.src IS NULL) dg
+    LEFT JOIN (SELECT e.dst, SUM(p3.rank * (1.0 / d.outdeg)) AS contrib
+               FROM pr p3 JOIN deg d ON d.src = p3.id
+               JOIN edges e ON e.src = p3.id
+               GROUP BY e.dst) c ON c.dst = p.id
+    WHERE p.iter < 10
+)
+SELECT id, FLOOR(rank * 1e9 + 1e-3) / 1e9 AS rank FROM pr WHERE iter = 10
+"""
+
+
+@op("ext_pagerank", oracle=_PAGERANK_ORACLE)
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the label-blocked kNN similarity graph
     (ext_knn_graph edges, k=3): the corpus-curation signal for hub
     sampling / orphan down-weighting. Vertices = all embedding ids, so
-    singleton-block vectors participate as dangling nodes."""
+    singleton-block vectors participate as dangling nodes.
+
+    Oracle-checked end-to-end: DuckDB replays the identical 10-iteration
+    power iteration as a bounded WITH RECURSIVE over the same (hash-green)
+    edge oracle — see _PAGERANK_ORACLE for the float-noise analysis; a
+    pytest additionally pins every rank against a pure-Python iteration
+    at 1e-9 (tests/test_pagerank.py)."""
     from ..registry import OPS
 
     edges = (OPS["ext_knn_graph"].fn(spark, sf_dir)
@@ -73,4 +121,5 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = (load_table(spark, sf_dir, "embeddings")
              .select(C("vec_id").alias("id")))
     return (pagerank(verts, edges, damping=0.85, iters=10)
-            .select("id", F.round(C("rank"), 9).alias("rank")))
+            .select("id", (F.floor(C("rank") * 1e9 + 1e-3) / 1e9)
+                    .alias("rank")))

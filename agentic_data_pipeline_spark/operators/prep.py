@@ -383,16 +383,21 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
     GROUP BY 1, 2, 3
 """)
 def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Privacy-preserving export: keyed pseudonymization (salted md5 of
+    """Privacy-preserving export: keyed pseudonymization (prefixed md5 of
     the user id — same user → same pseudonym, so joins/cohorts still
-    work, but the id is not reversible without the salt) plus temporal
-    coarsening (timestamps → day) — the standard anonymized-share shape
-    (GDPR-style pseudonymisation + generalisation) for handing event data
-    to analysts or external partners.
+    work) plus temporal coarsening (timestamps → day) — the standard
+    anonymized-share shape (GDPR-style pseudonymisation + generalisation)
+    for handing event data to analysts or external partners.
 
-    Map-only hashing + one aggregate shuffle on the coarsened key; the
-    salt would come from a secret store at deploy time — fixed here so
-    the op is oracle-checkable.
+    The fixed public 'uid:' prefix is a STAND-IN demonstrating the
+    keyed-hash shape, not a privacy guarantee: with a known prefix and a
+    small, enumerable id domain every pseudonym is reversible by brute-
+    forcing md5('uid:'||id). Real deployments must draw a high-entropy
+    secret salt from a secret store (and even then, small-domain
+    enumeration remains the threat model a keyed hash — HMAC with a
+    secret key — is needed to defeat). Fixed here so the op is
+    oracle-checkable. Map-only hashing + one aggregate shuffle on the
+    coarsened key.
     """
     from ..catalog import events_with_ts
 

@@ -408,5 +408,14 @@ def ext_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("__rep", F.explode(
                    F.when(C("__n") > 0, F.sequence(F.lit(1), C("__n")))
                    .otherwise(F.array()))))
-    return (emitted.groupBy("lang", "n_total", "quota")
-            .agg(F.count(F.lit(1)).alias("n_emitted")))
+    counts = emitted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__n_emitted"))
+    # Aggregate FROM the rates table (left join to the emitted counts) so a
+    # language whose quota emits zero rows still surfaces with n_emitted=0,
+    # mirroring the oracle's unconditional per-language grouping — an
+    # explode-side groupBy would drop it entirely (r4 advice).
+    return (rates.select("lang", "n_total", "quota")
+            .join(counts, "lang", "left")
+            .select("lang", "n_total", "quota",
+                    F.coalesce(C("__n_emitted"), F.lit(0).cast("bigint"))
+                    .alias("n_emitted")))

@@ -39,6 +39,26 @@ C = F.col
 EMBED_DIM = 64
 
 
+def _trunc6(col):
+    """Display-truncate a double to 6dp: floor(x*1e6 + 1e-3)/1e6, the
+    same arithmetic DuckDB's FLOOR((x)*1e6 + 1e-3)/1e6 performs on the
+    identical double. Spark's ROUND goes through the shortest decimal
+    repr with HALF_UP, which can split from DuckDB's numeric rounding
+    when the repr ends in '5' at the boundary digit (observed live
+    2-in-50k on classifier scores) — truncation has no repr dependence.
+    The scaled epsilon (1e-9 on the value) absorbs last-ulp algorithm
+    differences at EXACT bucket boundaries: a self-similarity of 1.0
+    lands at 1.0 - 1ulp under numpy's norm but exactly 1.0 under the
+    sequential fold, and bare floor would split those a whole bucket
+    apart while round agreed by luck of the digit."""
+    return F.floor(col * 1e6 + 1e-3) / 1e6
+
+
+def _duck_trunc6(expr: str) -> str:
+    """The DuckDB twin of _trunc6 (see there)."""
+    return f"FLOOR(({expr}) * 1e6 + 1e-3) / 1e6"
+
+
 def _hash_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
     """Deterministic fallback embedder: token-hash bag projection, L2-normed.
 
@@ -122,7 +142,7 @@ def _cosine_topk(index: DataFrame, q, qn, k: int, id_col: str,
 
     sim = dot(C(vec_col), q) / (l2_norm(C(vec_col)) * qn)
     return (
-        index.select(C(id_col), F.round(sim, 6).alias("sim"))
+        index.select(C(id_col), _trunc6(sim).alias("sim"))
         .orderBy(C("sim").desc(), C(id_col))
         .limit(k)
     )
@@ -152,9 +172,13 @@ def vector_search_batch(index: DataFrame, query_vec: list[float], k: int = 5,
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-            top = np.argsort(-sims)[:k]
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top],
-                                "sim": np.round(sims[top], 6)})
+            # Select on the TRUNCATED sim with id tiebreak — the exact
+            # ordering the final global sort ranks by; selecting on raw
+            # floats could drop a truncated-tie candidate at the k edge.
+            s6 = np.floor(sims * 1e6 + 1e-3) / 1e6
+            ids = pdf[id_col].to_numpy()
+            top = np.lexsort((ids, -s6))[:k]
+            yield pd.DataFrame({id_col: ids[top], "sim": s6[top]})
 
     scored = index.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} bigint, sim double")
@@ -176,7 +200,7 @@ def vector_search_by_id(index: DataFrame, query_id: int, k: int = 5,
     sim = dot(C(vec_col), C("__qv")) / (l2_norm(C(vec_col)) * C("__qn"))
     return (
         index.crossJoin(F.broadcast(q))
-        .select(C(id_col), F.round(sim, 6).alias("sim"))
+        .select(C(id_col), _trunc6(sim).alias("sim"))
         .orderBy(C("sim").desc(), C(id_col))
         .limit(k)
     )
@@ -219,7 +243,7 @@ def vector_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("vector_search", oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND({_duck_cos('embedding', 'qv')}, 6) AS sim
+    SELECT vec_id, {_duck_trunc6(_duck_cos('embedding', 'qv'))} AS sim
     FROM embeddings, q
     ORDER BY sim DESC, vec_id
     LIMIT 5
@@ -262,14 +286,17 @@ def batch_topk(scored: DataFrame, k: int, query_col: str = "query_id",
             .filter(C("__rn") <= k).drop("__rn"))
 
 
-@op("ext_similarity_topk", oracle=f"""
+_SIM_TOPK_ORACLE = f"""
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           ROUND({_duck_cos('c.embedding', 'q.embedding')}, 6) AS sim
+           {_duck_trunc6(_duck_cos('c.embedding', 'q.embedding'))} AS sim
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
     WHERE q.vec_id IN (0, 1, 2)
     QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                ORDER BY sim DESC, c.vec_id) <= 5
-""")
+"""
+
+
+@op("ext_similarity_topk", oracle=_SIM_TOPK_ORACLE)
 def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch top-k join: a query *set* against the corpus in one pass
     (SURVEY §2.5). Query side broadcasts; ranking is salted two-phase
@@ -289,7 +316,7 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             C("vec_id").alias("neighbor_id"),
-            F.round(sim, 6).alias("sim"),
+            _trunc6(sim).alias("sim"),
         )
     )
     return batch_topk(scored, k=5)
@@ -297,7 +324,7 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("ext_dedup_embedding", oracle=f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS sim
+           {_duck_trunc6(_duck_cos('a.embedding', 'b.embedding'))} AS sim
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_duck_cos('a.embedding', 'b.embedding')} > 0.8
@@ -323,7 +350,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (C("a_label") == C("b_label")) & (C("a_id") < C("b_id")))
         .filter(sim > 0.8)
-        .select("a_id", "b_id", F.round(sim, 6).alias("sim"))
+        .select("a_id", "b_id", _trunc6(sim).alias("sim"))
     )
 
 
@@ -386,14 +413,14 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op("vector_search_batch", oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, ROUND({_duck_cos('embedding', 'qv')}, 6) AS sim
+    SELECT vec_id, {_duck_trunc6(_duck_cos('embedding', 'qv'))} AS sim
     FROM embeddings, q
     ORDER BY sim DESC, vec_id
     LIMIT 5
 """)
 def vector_search_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/mapInPandas brute-force path as a registered op, sharing
-    vector_search's oracle: after the defensive ROUND(,6) the BLAS matmul
+    vector_search's oracle: after the defensive 6dp truncation the BLAS matmul
     and the sequential fold agree on every fixture (and on the 2M-row
     probe), so both paths carry hash-parity evidence."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -589,10 +616,10 @@ def similarity_topk_batch(index: DataFrame, queries: dict[int, list[float]],
             for j, qid in enumerate(qids):
                 col = sims[:, j]
                 mask = ids != qid                          # exclude self
-                cand_ids, cand = ids[mask], np.round(col[mask], 6)
-                # Select on the ROUNDED sim with neighbor_id tiebreak — the
+                cand_ids, cand = ids[mask], np.floor(col[mask] * 1e6 + 1e-3) / 1e6
+                # Select on the TRUNCATED sim with neighbor_id tiebreak — the
                 # exact ordering the final window ranks by; selecting on raw
-                # floats could drop a rounded-tie candidate at the k edge.
+                # floats could drop a truncated-tie candidate at the k edge.
                 top = np.lexsort((cand_ids, -cand))[:k]
                 out_q += [qid] * len(top)
                 out_id += list(cand_ids[top])
@@ -607,14 +634,17 @@ def similarity_topk_batch(index: DataFrame, queries: dict[int, list[float]],
             .filter(C("__rn") <= k).drop("__rn"))
 
 
-@op("ext_similarity_topk_batch")  # rows-only: float sum order differs from
-                                  # the JVM fold in the last ulp; pytest
-                                  # asserts 6dp equality with the oracle op
+@op("ext_similarity_topk_batch", oracle=_SIM_TOPK_ORACLE)
 def ext_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BLAS/mapInPandas twin of ext_similarity_topk (queries 0,1,2,
     k=5): one matmul scores every corpus batch against the whole query set.
-    Carries the scale story for real embedding dims; pytest pins its
-    results to the oracle-checked JVM path."""
+    Carries the scale story for real embedding dims.
+
+    Shares the JVM path's oracle (the vector_search_batch pattern): both
+    engines select and display on the 6dp-TRUNCATED sim with id tiebreak,
+    so the quantization — not the last-ulp summation-order difference
+    between the numpy matmul and the sequential fold — decides every
+    emitted row; pytest additionally pins it row-for-row to the JVM op."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = {r["vec_id"]: list(r["embedding"])
           for r in emb.filter(C("vec_id").isin(0, 1, 2)).collect()}
@@ -686,10 +716,10 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k_clusters=8, threshold=0.35)
 
 
-@op("ext_knn_graph", oracle=f"""
+_KNN_GRAPH_ORACLE = f"""
     SELECT vec_id, neighbor_id, sim, rank FROM (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-               ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS sim,
+               {_duck_trunc6(_duck_cos('a.embedding', 'b.embedding'))} AS sim,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY a.vec_id
                    ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC,
@@ -698,7 +728,10 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings b
           ON a.label = b.label AND a.vec_id <> b.vec_id
     ) WHERE rank <= 3
-""")
+"""
+
+
+@op("ext_knn_graph", oracle=_KNN_GRAPH_ORACLE)
 def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-nearest-neighbor graph (k=3, cosine), blocked by label —
     the graph-construction primitive under graph-based curation
@@ -731,7 +764,7 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(C("rank") <= 3)
             .select("vec_id", "neighbor_id",
-                    F.round(C("__sim"), 6).alias("sim"), "rank"))
+                    _trunc6(C("__sim")).alias("sim"), "rank"))
 
 
 def knn_graph_batch(emb: DataFrame, k: int = 3, block_col: str = "label",
@@ -769,7 +802,7 @@ def knn_graph_batch(emb: DataFrame, k: int = 3, block_col: str = "label",
             order = np.lexsort((ids, -sims[row]))[:kk]
             out_v += [ids[row]] * kk
             out_n += list(ids[order])
-            out_s += list(np.round(sims[row][order], 6))
+            out_s += list(np.floor(sims[row][order] * 1e6 + 1e-3) / 1e6)
             out_r += list(range(1, kk + 1))
         return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n,
                              "sim": out_s, "rank": out_r})
@@ -781,11 +814,13 @@ def knn_graph_batch(emb: DataFrame, k: int = 3, block_col: str = "label",
                            "sim double, rank bigint"))
 
 
-@op("ext_knn_graph_batch")  # rows-only: numpy matmul differs from the JVM
-                            # fold in the last ulp; pytest pins the edges
-                            # and 6dp sims to the oracle-checked twin
+@op("ext_knn_graph_batch", oracle=_KNN_GRAPH_ORACLE)
 def ext_knn_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLAS/applyInPandas twin of ext_knn_graph (k=3, label-blocked);
-    pytest pins its edge list to the oracle-checked JVM path."""
+    """BLAS/applyInPandas twin of ext_knn_graph (k=3, label-blocked),
+    sharing its oracle: the displayed sim is 6dp-truncated on both
+    engines, and edge selection ranks on raw float64 sims whose cross-
+    engine difference (last-ulp summation order) is orders of magnitude
+    below any real pair gap; pytest additionally pins the edge list to
+    the JVM op."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_batch(emb, k=3)
