@@ -14,10 +14,13 @@ Four strategies, all shaped for 100 TB:
   16-bit band (4 bands ⇒ finds all pairs within Hamming distance 3).
 - n-gram Jaccard: the exact verifier, exposed as its own operator.
 
-Exact/ngram ops are DuckDB-oracle-checked; minhash/simhash use engine hashes
-(xxhash64) that DuckDB doesn't expose → rows-only checks plus pytest
-invariants (reference has no dedup at all; design follows the standard
-MinHash-LSH construction from Broder '97 / MMDS ch.3).
+Exact/ngram ops are DuckDB-oracle-checked. The production minhash/simhash
+use engine hashes (xxhash64) DuckDB doesn't expose → rows-only checks plus
+pytest invariants; ext_dedup_minhash_md5 is the AUDITABLE twin — the same
+LSH construction over an md5 hash family both engines share, hash-green
+end-to-end including candidate generation (reference has no dedup at all;
+design follows the standard MinHash-LSH construction from Broder '97 /
+MMDS ch.3).
 """
 
 from __future__ import annotations
@@ -288,6 +291,130 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fuzzy dedup over documents (Hamming ≤ 3 pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(docs, "doc_id", "text", max_hamming=3) \
+        .orderBy("a_id", "b_id")
+
+
+def minhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
+                           jaccard_threshold: float = 0.5) -> DataFrame:
+    """minhash_candidates with an md5-derived hash family instead of
+    xxhash64 — the AUDITABLE twin: both engines compute md5 of identical
+    strings, so signatures, band keys, candidate pairs, and verified
+    output are cross-engine exact and the whole LSH construction (not
+    just its adjunct verifiers) carries hash parity.
+
+    h_i(s) = int(md5(f"{i}:{s}")[:15 hex]) — 60 bits, fits signed 64 on
+    both engines; band key = md5 of the comma-joined 4-row slice. Same
+    plan as the xxhash64 path (exploded-shingle partial mins, band-bucket
+    self-join, verify-join on survivors only); md5 costs ~10× more per
+    hash than xxhash64, which is exactly why the PRODUCTION op keeps the
+    engine hash and this variant exists for cross-engine audit.
+    """
+    sh = shingles_exploded(df, id_col, text_col, 3)
+
+    def h(i: int) -> Column:
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), C("s"))), 1, 15), 16, 10) \
+            .cast("bigint")
+
+    sig = sh.groupBy("id").agg(*[
+        F.min(h(i)).alias(f"h{i}") for i in range(NUM_HASHES)
+    ])
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    C(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ])).alias("bh"),
+            )
+            for b in range(BANDS)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    a = bands.select(C("id").alias("a_id"), "band", "bh")
+    b = bands.select(C("id").alias("b_id"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(C("a_id") < C("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
+    pairs = (
+        cand.join(sets.select(C("id").alias("a_id"), C("sh").alias("a_sh")),
+                  "a_id")
+        .join(sets.select(C("id").alias("b_id"), C("sh").alias("b_sh")),
+              "b_id")
+    )
+    j = jaccard(C("a_sh"), C("b_sh"))
+    return (
+        pairs.filter(j >= jaccard_threshold)
+        .select("a_id", "b_id",
+                (F.floor(j * 1e6) / 1e6).alias("jaccard"))
+    )
+
+
+_GRAMS_SQL = r"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split_regex(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                       '\s+'), i, i + 2), ' ')
+               )) AS grams
+        FROM documents
+        WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+"""
+
+
+@op("ext_dedup_minhash_md5", oracle=f"""
+    WITH tok AS ({_GRAMS_SQL}),
+    sh AS (SELECT doc_id AS id, UNNEST(grams) AS s FROM tok),
+    hs AS (
+        SELECT id, s, t.i,
+               CAST(('0x' || substring(md5(t.i || ':' || s), 1, 15))
+                    AS BIGINT) AS h
+        FROM sh, UNNEST(range({NUM_HASHES})) AS t(i)
+    ),
+    sig AS (SELECT id, i, MIN(h) AS mh FROM hs GROUP BY id, i),
+    bands AS (
+        SELECT id, i // {ROWS_PER_BAND} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+        FROM sig GROUP BY id, i // {ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT a.id AS a_id, b.id AS b_id
+        FROM bands a JOIN bands b USING (band, bh)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT c.a_id, c.b_id,
+           FLOOR(CAST(len(list_intersect(ta.grams, tb.grams)) AS DOUBLE)
+                 / (len(ta.grams) + len(tb.grams)
+                    - len(list_intersect(ta.grams, tb.grams))) * 1e6) / 1e6
+               AS jaccard
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.a_id
+    JOIN tok tb ON tb.doc_id = c.b_id
+    WHERE CAST(len(list_intersect(ta.grams, tb.grams)) AS DOUBLE)
+          / (len(ta.grams) + len(tb.grams)
+             - len(list_intersect(ta.grams, tb.grams))) >= 0.5
+""")
+def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH construction, hash-green end-to-end: shingles
+    → 32 md5-minhashes → 8×4 band keys → bucket self-join candidates →
+    exact-Jaccard verify (J ≥ 0.5). DuckDB replays every stage with the
+    identical md5 hash family, so the oracle pins candidate GENERATION —
+    including which true pairs banding probabilistically misses — not
+    just the verifier arithmetic (the previous limit of the adjuncts).
+    The production op (ext_dedup_minhash) keeps JVM xxhash64 for ~10×
+    cheaper signatures; the plans are identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates_md5(docs, "doc_id", "text",
+                                  jaccard_threshold=0.5) \
         .orderBy("a_id", "b_id")
 
 

@@ -113,10 +113,15 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     power iteration as a bounded WITH RECURSIVE over the same (hash-green)
     edge oracle — see _PAGERANK_ORACLE for the float-noise analysis; a
     pytest additionally pins every rank against a pure-Python iteration
-    at 1e-9 (tests/test_pagerank.py)."""
+    at 1e-9 (tests/test_pagerank.py).
+
+    Edges come from the BLAS kNN twin (ext_knn_graph_batch) — the scale
+    path for graph construction; it shares ext_knn_graph's oracle and its
+    edge list is pytest-pinned identical to the JVM fold's, so the rank
+    oracle is unaffected by the choice."""
     from ..registry import OPS
 
-    edges = (OPS["ext_knn_graph"].fn(spark, sf_dir)
+    edges = (OPS["ext_knn_graph_batch"].fn(spark, sf_dir)
              .select(C("vec_id").alias("src"), C("neighbor_id").alias("dst")))
     verts = (load_table(spark, sf_dir, "embeddings")
              .select(C("vec_id").alias("id")))

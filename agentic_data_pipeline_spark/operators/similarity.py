@@ -480,25 +480,32 @@ PQ_CODEBOOK = 16
 
 
 def pq_train(emb: DataFrame, vec_col: str = "embedding",
-             m: int = PQ_SUBSPACES, ksub: int = PQ_CODEBOOK) -> "np.ndarray":
+             m: int = PQ_SUBSPACES, ksub: int = PQ_CODEBOOK,
+             id_col: str = "vec_id",
+             sample_rows: int = 100_000) -> "np.ndarray":
     """Train PQ codebooks: split the dim-D space into ``m`` subspaces and
     KMeans each with ``ksub`` centroids (fixed seed).
 
-    Returns codebooks shaped (m, ksub, D/m). At 100 TB: train on a small
-    sample (codebooks are per-*dimension-slice*, not per-row — a 1e5-row
-    sample saturates them), broadcast ~m*ksub*(D/m) floats to executors.
-    Training here runs m driver-side KMeans fits on a sampled/collected
-    matrix — the sample, not the corpus, bounds the cost.
+    Returns codebooks shaped (m, ksub, D/m). The fits run on an EXPLICIT
+    bounded sample (deterministic: lowest ``sample_rows`` ids, a
+    TakeOrdered heap — never a full sort) rather than on `emb` directly:
+    codebooks are per-*dimension-slice*, not per-row, so ~1e5 rows
+    saturate them regardless of corpus size — the bound is now in code,
+    not just in this docstring (r4 audit nit). At 100 TB the trained
+    ~m*ksub*(D/m)-float table broadcasts to executors; the m sequential
+    driver-orchestrated fits each scan only the sample.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     d = len(emb.select(vec_col).head()[0])
     sub = d // m
+    sample = emb.select(id_col, vec_col).orderBy(id_col) \
+        .limit(sample_rows).localCheckpoint()
     books = []
     for j in range(m):
         sl = F.slice(C(vec_col).cast("array<double>"), j * sub + 1, sub)
-        feats = emb.select(array_to_vector(sl).alias("__f"))
+        feats = sample.select(array_to_vector(sl).alias("__f"))
         model = KMeans(k=ksub, seed=42 + j, featuresCol="__f",
                        predictionCol="__c").fit(feats)
         books.append(np.stack([np.asarray(c) for c in model.clusterCenters()]))

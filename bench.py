@@ -11,36 +11,40 @@ BASELINE.md):
   what the DuckDB twin measures too. `df.cache()` was benchmarked and is a
   wash at this scale — Spark's vectorized parquet reader matches the
   InMemoryRelation scan — so the simpler symmetric setup wins.)
-- Prepared-statement timing: each query's DataFrame is built ONCE (Python
-  plan construction + Catalyst analysis, ~0.1-0.2 s of driver-side work per
-  query), then the timed runs execute it into the `noop` sink. Execution
-  still re-runs the full optimizer + physical planning + all stages every
-  time — only the Python DataFrame-building is hoisted, the same way the
-  DuckDB side's `PREPARE`-trivial parse cost is not what its numbers measure.
+- Prepared-statement timing: each declarative query's DataFrame is built
+  ONCE (Python plan construction + Catalyst analysis, ~0.1-0.2 s of
+  driver-side work per query), then the timed runs execute it into the
+  `noop` sink. Execution still re-runs the full optimizer + physical
+  planning + all stages every time — only the Python DataFrame-building is
+  hoisted, the same way the DuckDB side's `PREPARE`-trivial parse cost is
+  not what its numbers measure. EXCEPTION: ops in REBUILD are iterative —
+  constructing their DataFrame *is* the computation (power iteration /
+  k-means / fixpoint with eager localCheckpoints) — so each timed run
+  rebuilds from scratch; anything else would time a cached result.
 - Three untimed global warm-up passes (JIT C2 compilation keeps lowering
   latencies for the first ~2 passes; measured drift > any conf knob), then
   per query: TIMED_RUNS consecutive executions, best-of kept — the SAME
-  methodology as rounds 1-2, which matters: an interleaved-pass variant
-  was tried in r3 and measured ~50% slower per query on an idle box
-  (each run separated by 14 other queries runs on cold JIT/CPU-cache
-  state), which would have made every cross-round comparison read as a
-  phantom regression. A/B on one box, same minute: consecutive 4.35 s
-  total, interleaved 6.89 s.
-- Self-proving artifact (VERDICT r2 §next-2, refined per r3 advice): the
-  JSON embeds os.getloadavg() (r2's 17% "regression" was host load 3-4,
-  provable then only from prose), every per-query run array with its
-  wall-clock start offset (temporally coherent, unlike the r3 "pass
-  totals"), and the paired DuckDB-twin run from the SAME invocation with
-  the Spark/DuckDB ratio over the oracle-covered queries. Each invocation
-  also appends to BENCH_HISTORY.jsonl and the artifact carries the
-  min-load recorded pair at the same SF, so the driver's one JSON contains
-  the best controlled number alongside the live one.
+  methodology as rounds 1-4 (interleaved passes measured ~50% slower from
+  cold JIT/CPU-cache state; A/B in r3: consecutive 4.35 s vs 6.89 s).
+- Self-proving artifact: the JSON embeds os.getloadavg(), every per-query
+  run array with its wall-clock start offset, and the paired DuckDB-twin
+  run from the SAME invocation with the Spark/DuckDB ratio over the
+  oracle-covered queries. Each invocation appends to BENCH_HISTORY.jsonl.
+- Headline-of-record (r4 advice item 10): the top-level `value`/`ratio`
+  are taken from the minimum-load recorded invocation at the same SF and
+  query-set version (including this one) — the controlled pair — while
+  `value_live`/`ratio_live` carry this invocation's numbers verbatim.
+- Query-set v2 (r4 item 5): the classic 15 (r1-r4 lineage, reported
+  separately as classic15_* for round-over-round comparability) + the
+  remaining 20 TPC-H shapes + the heavy iterative ext ops (PageRank,
+  bounded dedup clusters, semdedup, training-prep pipeline, kNN graph).
+  History summaries only mix invocations of the same set version.
 
 This measures steady-state query latency — the same thing the DuckDB
 baseline (scripts/bench_duckdb.py, in-memory connection, OS-cached parquet)
 measures. BASELINE.md carries both sides plus the per-stage floor analysis
 (~0.07 s/stage scheduling floor on local[N] is the irreducible gap at
-sub-second scale; it amortizes to noise at the 100 TB design point).
+sub-second scale; it amortizes at the sf1 tier — scripts/bench_sf1.py).
 """
 
 from __future__ import annotations
@@ -52,10 +56,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The headline set: one per major plan shape (scan-agg, join, window, topk,
-# time bucketing, dedup, text map, vector search, deep decorrelated join,
-# composed curation pipeline).
-HEADLINE = [
+# The classic headline set (rounds 1-4): one per major plan shape.
+CLASSIC = [
     "q1_pricing_summary",
     "q_groupby",
     "q_join_left",
@@ -73,7 +75,32 @@ HEADLINE = [
     "ext_curation_pipeline",
 ]
 
-WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "3"))
+# v2 widening: every remaining TPC-H shape (q1/q21 already above) ...
+TPCH_REST = [
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_shipments",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_priority_by_delay", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity", "q18_large_orders", "q19_disjunctive_filter",
+    "q20_promotion_suppliers", "q22_dormant_customers",
+]
+
+# ... plus the heavy ext ops the r4 verdict called out. Iterative ones
+# (REBUILD) re-run their driver orchestration every timed run.
+# ext_knn_graph_batch is the BLAS scale path; it shares ext_knn_graph's
+# oracle (same semantics, pytest-pinned identical edges), so benching it
+# keeps the twin comparison exact while timing the path a 100 TB run uses.
+HEAVY = [
+    "ext_training_prep_pipeline", "ext_knn_graph_batch",
+    "ext_dedup_clusters_bounded", "ext_pagerank", "ext_semdedup",
+]
+REBUILD = {"ext_pagerank", "ext_semdedup", "ext_dedup_clusters_bounded"}
+
+HEADLINE = CLASSIC + TPCH_REST + HEAVY
+SET_VERSION = "v2"
+
+WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
 
 
@@ -86,23 +113,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Build every DataFrame once (prepared statements); timed runs below
-    # execute the prepared plan end-to-end.
-    dfs = {name: queries[name](spark, sf_dir) for name in HEADLINE}
+    # Prepared plans for declarative queries; REBUILD ops reconstruct.
+    dfs = {name: queries[name](spark, sf_dir)
+           for name in HEADLINE if name not in REBUILD}
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
-        dfs[name].write.mode("overwrite").format("noop").save()
+        df = (queries[name](spark, sf_dir) if name in REBUILD
+              else dfs[name])
+        df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     for _ in range(WARMUP_PASSES):
         for name in HEADLINE:
             run(name)
 
-    # Per-query timed blocks carry their own wall-clock start so a reader
-    # can correlate any slow run with the loadavg samples (r3-advisor
-    # finding: summed "pass totals" were not temporally coherent — runs
-    # execute consecutively PER QUERY, not in global passes).
     bench_start = time.time()
     runs: dict[str, list[float]] = {}
     run_starts: dict[str, float] = {}
@@ -128,12 +153,21 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the twin must never break the contract
         pass
 
+    classic_cov = [n for n in CLASSIC if n in duck_queries]
+    classic_duck = sum(duck_queries[n] for n in classic_cov)
     artifact = {
         "metric": "headline_queries_total_sec",
-        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "set_version": SET_VERSION,
+        "n_queries": len(HEADLINE),
+        "value_live": total,
+        "ratio_live": ratio,
+        "classic15_total_sec": round(sum(timings[n] for n in CLASSIC), 3),
+        "classic15_ratio": (round(sum(timings[n] for n in classic_cov)
+                                  / classic_duck, 3)
+                            if classic_duck else None),
         "n_timed_runs": TIMED_RUNS,
         "runs_sec": {n: [round(x, 3) for x in r] for n, r in runs.items()},
         "run_start_offsets_sec": run_starts,
@@ -144,36 +178,42 @@ def main() -> None:
         "spark_over_duckdb_ratio": ratio,
     }
     artifact["history_same_sf"] = _record_history(artifact)
+    # Headline-of-record = the min-load controlled pair (r4 item 10);
+    # falls back to this invocation when history is unavailable.
+    rec = (artifact["history_same_sf"] or {}).get("min_load_invocation")
+    artifact["value"] = rec["value"] if rec else total
+    artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"]
+                                   if rec else ratio)
     print(json.dumps(artifact))
 
 
 def _record_history(artifact: dict) -> dict | None:
     """Append this paired invocation to BENCH_HISTORY.jsonl (committed with
-    the repo) and return a summary of ALL recorded same-SF invocations —
-    median/band of the paired ratio plus the min-load pair — so the single
-    JSON the driver records carries the controlled evidence, not one
-    invocation's load luck (VERDICT r3: the idle-box under-2x pairs lived
-    only in prose while the artifact of record was taken at load ~2.5-2.9).
-    The ratio is load-controlled by construction (Spark and the DuckDB twin
-    run in the SAME invocation), so the median over invocations, not the
-    single lowest-load row, is the number of record. Never breaks the
+    the repo) and return a summary of ALL recorded same-SF same-set
+    invocations — median/band of the paired ratio plus the min-load pair —
+    so the single JSON the driver records carries the controlled evidence,
+    not one invocation's load luck. The ratio is load-controlled by
+    construction (Spark and the DuckDB twin run in the SAME invocation);
+    the median over invocations is the number of record. Never breaks the
     contract: best-effort IO."""
     try:
         hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_HISTORY.jsonl")
         entry = {k: artifact[k] for k in (
-            "value", "sf", "invocation_unix", "load_avg",
+            "sf", "set_version", "invocation_unix", "load_avg",
             "duckdb_twin_total_sec", "spark_over_duckdb_ratio")}
+        entry["value"] = artifact["value_live"]
         with open(hist_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
         with open(hist_path) as f:
             entries = [json.loads(line) for line in f if line.strip()]
-        same_sf = [e for e in entries
-                   if e.get("sf") == artifact["sf"]
-                   and e.get("spark_over_duckdb_ratio") is not None]
-        if not same_sf:
+        same = [e for e in entries
+                if e.get("sf") == artifact["sf"]
+                and e.get("set_version") == artifact["set_version"]
+                and e.get("spark_over_duckdb_ratio") is not None]
+        if not same:
             return None
-        ratios = sorted(e["spark_over_duckdb_ratio"] for e in same_sf)
+        ratios = sorted(e["spark_over_duckdb_ratio"] for e in same)
         mid = len(ratios) // 2
         median = (ratios[mid] if len(ratios) % 2
                   else round((ratios[mid - 1] + ratios[mid]) / 2, 3))
@@ -181,7 +221,7 @@ def _record_history(artifact: dict) -> dict | None:
             "n_invocations": len(ratios),
             "ratio_median": median,
             "ratio_band": [ratios[0], ratios[-1]],
-            "min_load_invocation": min(same_sf,
+            "min_load_invocation": min(same,
                                        key=lambda e: e["load_avg"][0]),
         }
     except Exception:  # noqa: BLE001
@@ -191,7 +231,11 @@ def _record_history(artifact: dict) -> dict | None:
 def duckdb_twin(sf_dir: str) -> dict[str, float]:
     """Paired DuckDB baseline from the same invocation: each headline op's
     oracle SQL (exact semantics twin) on the same parquet, warm cache,
-    best-of-3 — symmetric with the Spark side's TIMED_RUNS."""
+    best-of-3 — symmetric with the Spark side's TIMED_RUNS. Heavy twins
+    (recursive-CTE PageRank, the bounded-cluster fixpoint) time best-of-3
+    exactly like everything else: DuckDB re-executes its full iteration
+    each run, symmetric with the REBUILD re-orchestration on the Spark
+    side."""
     import time
 
     from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""sf1 bench tier (VERDICT r4 item 6): get the Spark/DuckDB ratio out of
+the per-query job-scheduling floor that dominates sub-second sf0.1 runs.
+
+The lake is a 10× key-shifted replication of /root/testdata/sf0.1 built
+with DuckDB into .tmp/sf1 (never touches /root/testdata): every replica r
+shifts each KEY column by r*OFF so key domains grow 10× (joins keep their
+selectivity, groupBys their per-key cardinality shape — the honest way to
+scale, vs naive row duplication which would 10× every key's fan-in).
+Exception: embeddings.label shifts per replica so the kNN/blocked ops'
+per-block size stays bounded — exactly the invariant blocking exists to
+maintain at scale. documents.text is NOT perturbed, so the dedup family
+sees a 10%-unique corpus — a realistic dup rate for a crawl.
+
+Methodology mirrors bench.py (prepared plans, warm-up passes, best-of-3,
+paired DuckDB twin in the same invocation, loadavg embedded). Prints ONE
+JSON line; results are transcribed into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".tmp", "sf1")
+REPLICAS = 10
+OFF = 100_000_000  # > any key at sf0.1
+
+# key columns shifted per replica (domain growth); everything else copies
+KEYS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+HEADLINE = [  # the classic 15 — same set as bench.py's r1-r4 lineage
+    "q1_pricing_summary", "q_groupby", "q_join_left", "q_window_agg",
+    "q_topk", "q_tumble", "ext_dedup_exact", "ext_text_stats",
+    "vector_search", "ext_similarity_topk", "ext_sessionize",
+    "ext_asof_join", "ext_docs_to_chunks", "q21_waiting_suppliers",
+    "ext_curation_pipeline",
+]
+
+
+def build_lake() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    marker = os.path.join(DST, ".built")
+    fp = ";".join(
+        f"{t}:{os.stat(os.path.join(SRC, t + '.parquet')).st_mtime_ns}"
+        for t in KEYS) + f"|v2|{REPLICAS}|{OFF}"
+    if os.path.isfile(marker) and open(marker).read() == fp:
+        return
+    con = duckdb.connect()
+    for t, keys in KEYS.items():
+        src = os.path.join(SRC, f"{t}.parquet")
+        dst = os.path.join(DST, f"{t}.parquet")
+        if not keys:  # dimension tables don't scale (TPC-H semantics)
+            con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) "
+                        f"TO '{dst}' (FORMAT PARQUET)")
+            continue
+        parts = []
+        for r in range(REPLICAS):
+            shifted = []
+            cols = [d[0] for d in
+                    con.execute(f"DESCRIBE SELECT * FROM "
+                                f"read_parquet('{src}')").fetchall()]
+            for c in cols:
+                if c in keys:
+                    shifted.append(
+                        f"CAST({c} + {r * OFF} AS BIGINT) AS {c}")
+                elif t == "embeddings" and c == "label":
+                    # keep block sizes constant: new label space per replica
+                    shifted.append(
+                        f"CAST(label + {r * 1_000_000} AS BIGINT) AS label")
+                else:
+                    shifted.append(c)
+            parts.append("SELECT " + ", ".join(shifted)
+                         + f" FROM read_parquet('{src}')")
+        con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' "
+                    f"(FORMAT PARQUET)")
+    with open(marker, "w") as f:
+        f.write(fp)
+
+
+def main() -> None:
+    build_lake()
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+    from agentic_data_pipeline_spark.session import get_spark
+    from tests.parity_util import duck_connect
+
+    _ensure_loaded()
+    spark = get_spark(app_name="adps-bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    dfs = {n: OPS[n].fn(spark, DST) for n in HEADLINE}
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        dfs[name].write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    for _ in range(2):
+        for n in HEADLINE:
+            run(n)
+    timings = {n: round(min(run(n) for _ in range(3)), 3) for n in HEADLINE}
+
+    con = duck_connect(DST)
+    duck = {}
+    for n in HEADLINE:
+        o = OPS[n].oracle
+        if not o:
+            continue
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            con.execute(o).fetchall()
+            return time.perf_counter() - t0
+
+        one()
+        duck[n] = round(min(one(), one(), one()), 3)
+
+    cov = [n for n in HEADLINE if n in duck]
+    s, d = sum(timings[n] for n in cov), sum(duck[n] for n in cov)
+    print(json.dumps({
+        "metric": "sf1_headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec", "sf": 1.0, "replicas_of_sf0.1": REPLICAS,
+        "queries": timings, "duckdb_twin_sec": duck,
+        "spark_cov_sec": round(s, 3), "duck_cov_sec": round(d, 3),
+        "spark_over_duckdb_ratio": round(s / d, 3) if d else None,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
