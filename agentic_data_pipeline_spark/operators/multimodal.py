@@ -341,3 +341,77 @@ def ext_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "asset_id", "width", "height",
         F.md5(C("pixels")).alias("pixel_md5"), "pixel_sum")
+
+
+# ext_audio_features: the REAL audio pipeline, oracle-pinned — the WAV
+# sibling of ext_resize_png. Waveforms are synthesized from the fixture
+# text (sample i = (byte of char i mod len - 128) * 256, int16, 8 kHz),
+# pushed through a full RIFF/PCM16 encode → chunk-walking decode →
+# nearest resample, and the oracle recomputes every emitted feature from
+# the same byte arithmetic — so hash parity pins actual SAMPLE VALUES
+# through the codec round-trip.
+_WAV_RATE = 8000
+_WAV_N = 64
+_WAV_RS = 32
+
+
+@op("ext_audio_features", oracle=f"""
+    WITH s AS (
+        SELECT doc_id, t.i,
+               (ascii(substring(text, (t.i % length(text)) + 1, 1)) - 128)
+                   * 256 AS v
+        FROM documents, UNNEST(range({_WAV_N})) AS t(i)
+    )
+    SELECT doc_id AS asset_id,
+           CAST({_WAV_RATE} AS INT)                  AS sample_rate,
+           CAST({_WAV_N} AS INT)                     AS n_samples,
+           CAST({_WAV_N} * 1000000 // {_WAV_RATE} AS BIGINT) AS duration_us,
+           CAST(MAX(ABS(v)) AS BIGINT)               AS peak,
+           CAST(SUM(v * v) AS BIGINT)                AS sum_sq,
+           CAST(MAX(CASE WHEN i % ({_WAV_N} // {_WAV_RS}) = 0
+                         THEN ABS(v) END) AS BIGINT) AS rs_peak,
+           CAST(SUM(CASE WHEN i % ({_WAV_N} // {_WAV_RS}) = 0
+                         THEN v * v ELSE 0 END) AS BIGINT) AS rs_sum_sq
+    FROM s GROUP BY doc_id
+""")
+def ext_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio kernel end-to-end: text-synthesized int16 waveforms →
+    RIFF/PCM16 encode (functions/wav.py) → chunk-walking decode → nearest
+    resample to {_WAV_RS} samples → per-asset features (peak / energy on
+    both the original and resampled signal). The oracle replays the
+    sample arithmetic straight from the text — all integers, engine-exact
+    — so parity proves the samples survived the codec round-trip, exactly
+    the ext_resize_png construction for images. One Arrow-batched
+    map-only kernel, zero shuffles before the final trivially-small
+    aggregate-free projection."""
+    from ..functions.wav import decode_wav, encode_wav, resample_nearest
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = _WAV_N // _WAV_RS
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (t or " ").encode("utf-8")
+                samples = [(raw[i % len(raw)] - 128) * 256
+                           for i in range(_WAV_N)]
+                rate, ch, got = decode_wav(encode_wav(samples, _WAV_RATE))
+                assert (rate, ch) == (_WAV_RATE, 1) and got == samples
+                rs = resample_nearest(got, _WAV_RS)
+                assert rs == got[::step]
+                rows.append((int(d), rate, len(got),
+                             len(got) * 1_000_000 // rate,
+                             max(abs(v) for v in got),
+                             sum(v * v for v in got),
+                             max(abs(v) for v in rs),
+                             sum(v * v for v in rs)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "sample_rate", "n_samples",
+                               "duration_us", "peak", "sum_sq",
+                               "rs_peak", "rs_sum_sq"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="asset_id bigint, sample_rate int, n_samples int, "
+                    "duration_us bigint, peak bigint, sum_sq bigint, "
+                    "rs_peak bigint, rs_sum_sq bigint")
