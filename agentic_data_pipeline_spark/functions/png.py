@@ -155,3 +155,24 @@ def resize_nearest(pixels: bytes, width: int, height: int, channels: int,
             dst = (r * new_w + c) * channels
             out[dst:dst + channels] = pixels[src:src + channels]
     return bytes(out)
+
+
+def split_png_stream(data: bytes) -> list[bytes]:
+    """Split an MJPEG-style stream of CONCATENATED PNGs into per-frame
+    byte blobs by walking each frame's chunk list to its IEND — the same
+    framing MJPEG uses with JPEGs, with PNG as the in-container codec.
+    Returns [] if the payload doesn't start with a PNG signature."""
+    data = bytes(data)
+    frames = []
+    pos = 0
+    while data[pos:pos + 8] == _SIG:
+        p = pos + 8
+        while p + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[p:p + 4])
+            tag = data[p + 4:p + 8]
+            p += 12 + length
+            if tag == b"IEND":
+                break
+        frames.append(data[pos:p])
+        pos = p
+    return frames

@@ -7,13 +7,19 @@ schema shape). Decode / feature-extract / resize / frame-sample run as
 Arrow-batched functions over mapInPandas: executors see pandas batches of
 bytes, never the whole column.
 
-Image decode/resize are REAL for PNG payloads (functions/png.py: a pure-
-stdlib codec — zlib + the five PNG row filters — with nearest-neighbor
-resize; ext_resize_png pins actual pixel values against a SQL oracle).
-Non-PNG image formats and audio/video codecs (PIL/librosa/ffmpeg) remain
-absent from this container: `decode_image` raises for those, the resize
-stand-in pads/truncates bytes, and `sample_frames` slices bytes — wrong
-pixels, right plumbing, honestly labeled.
+Three kernels are REAL in this container, each oracle-pinned on actual
+pixel/sample values:
+- images: functions/png.py (pure-stdlib PNG, all five row filters) +
+  nearest resize — ext_resize_png;
+- audio: functions/wav.py (RIFF/PCM16) + nearest resample —
+  ext_audio_features;
+- video: MJPEG-style concatenated-PNG streams, frame splitting by codec
+  framing + per-frame decode — ext_video_frames.
+Other formats (JPEG/WebP, MP3/AAC, MP4/H.264) need PIL/librosa/ffmpeg,
+absent here: `decode_image` raises for those with the magic named, the
+non-PNG resize stand-in pads/truncates bytes, and byte-payload
+`sample_frames` slices bytes — wrong pixels, right plumbing, honestly
+labeled.
 """
 
 from __future__ import annotations
@@ -415,3 +421,121 @@ def ext_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="asset_id bigint, sample_rate int, n_samples int, "
                     "duration_us bigint, peak bigint, sum_sq bigint, "
                     "rs_peak bigint, rs_sum_sq bigint")
+
+
+# ext_video_frames: REAL video frame sampling, oracle-pinned. "Videos"
+# are MJPEG-style streams of concatenated PNGs (the same framing MJPEG
+# uses with JPEGs; PNG is the codec this container can implement to
+# spec). Each doc yields a 6-frame 8x8 greyscale stream — frame f's
+# pixel i = byte of text char (i + 7f) mod len — the sampler splits the
+# stream by walking chunk framing (no fixed frame size assumed), keeps
+# every 2nd frame, and each kept frame is DECODED back to pixels the
+# oracle recomputes from the text arithmetic.
+_VID_FRAMES = 6
+_VID_STRIDE = 2
+_VID_SIDE = 8
+_VID_SHIFT = 7
+
+
+def make_png_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic real-PNG-stream video fixture: one asset per doc."""
+    from ..functions.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = _VID_SIDE * _VID_SIDE
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (t or " ").encode("utf-8")
+                stream = b"".join(
+                    encode_png(bytes(raw[(i + _VID_SHIFT * f) % len(raw)]
+                                     for i in range(n)),
+                               _VID_SIDE, _VID_SIDE, 1)
+                    for f in range(_VID_FRAMES))
+                rows.append((int(d), stream))
+            yield pd.DataFrame(rows, columns=["asset_id", "media"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="asset_id bigint, media binary")
+
+
+def sample_png_frames(assets: DataFrame, stride: int,
+                      max_frames: int = 64) -> DataFrame:
+    """REAL frame sampling over MJPEG-style PNG streams: split each
+    payload by codec framing (functions/png.split_png_stream), keep every
+    ``stride``-th frame. The UDTF-style explode (one asset row in, many
+    frame rows out) stays partition-local — zero shuffles, the same scale
+    shape as the byte-slice stand-in it upgrades."""
+    from ..functions.png import split_png_stream
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, m in zip(pdf["asset_id"], pdf["media"]):
+                frames = split_png_stream(bytes(m or b""))
+                for k, f in enumerate(frames[::stride][:max_frames]):
+                    rows.append((int(a), k * stride, f))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_no",
+                                              "frame"])
+
+    return assets.select("asset_id", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
+_VID_POS = list(range(_VID_SIDE * _VID_SIDE))
+_VID_KEPT = list(range(0, _VID_FRAMES, _VID_STRIDE))
+
+
+@op("ext_video_frames", oracle=f"""
+    WITH f AS (
+        SELECT doc_id, t.f
+        FROM documents, UNNEST(range(0, {_VID_FRAMES}, {_VID_STRIDE})) AS t(f)
+    ),
+    px AS (
+        SELECT doc_id, f.f, p.i,
+               substring(text,
+                         ((p.i + {_VID_SHIFT} * f.f) % length(text)) + 1,
+                         1) AS ch
+        FROM f JOIN documents USING (doc_id),
+             UNNEST(range({_VID_SIDE * _VID_SIDE})) AS p(i)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT)                           AS frame_no,
+           CAST({_VID_SIDE} AS INT)                 AS width,
+           CAST({_VID_SIDE} AS INT)                 AS height,
+           md5(string_agg(ch, '' ORDER BY i))       AS pixel_md5,
+           CAST(SUM(ascii(ch)) AS BIGINT)           AS pixel_sum
+    FROM px GROUP BY doc_id, f
+""")
+def ext_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline end-to-end: per-doc 6-frame PNG stream →
+    codec-framing frame splitter (every 2nd frame kept) → per-frame PNG
+    decode → pixel md5 + pixel sum. The oracle recomputes each kept
+    frame's pixels straight from the text arithmetic, so hash parity
+    pins WHICH frames the sampler kept AND their decoded pixel values —
+    the third multimodal kernel made real (images: ext_resize_png,
+    audio: ext_audio_features). Two map-only Arrow kernels + the
+    UDTF-style explode; zero shuffles."""
+    from ..functions.png import decode_png
+
+    frames = sample_png_frames(make_png_video(spark, sf_dir),
+                               stride=_VID_STRIDE)
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, fno, fb in zip(pdf["asset_id"], pdf["frame_no"],
+                                  pdf["frame"]):
+                w, h, ch, px = decode_png(bytes(fb))
+                rows.append((int(a), int(fno), w, h, px, sum(px)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_no", "width", "height",
+                               "pixels", "pixel_sum"])
+
+    decoded = frames.mapInPandas(
+        finish, schema="asset_id bigint, frame_no int, width int, "
+                       "height int, pixels binary, pixel_sum bigint")
+    return decoded.select(
+        "asset_id", "frame_no", "width", "height",
+        F.md5(C("pixels")).alias("pixel_md5"), "pixel_sum")

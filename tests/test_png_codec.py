@@ -91,3 +91,30 @@ def test_decoder_rejects_unsupported_fields():
     # (crc now wrong but decoder checks fields first)
     with pytest.raises(NotImplementedError, match="bit depth 16"):
         decode_png(bytes(png))
+
+
+def test_split_png_stream_framing():
+    from agentic_data_pipeline_spark.functions.png import split_png_stream
+
+    a = encode_png(bytes(range(16)), 4, 4, 1)
+    b = encode_png(bytes(range(16, 32)), 4, 4, 1)
+    frames = split_png_stream(a + b + a)
+    assert frames == [a, b, a]
+    assert split_png_stream(b"not a png") == []
+    # exact pixels survive the stream round-trip
+    assert decode_png(frames[1])[3] == bytes(range(16, 32))
+
+
+def test_sample_png_frames_keeps_every_strideth(spark):
+    from agentic_data_pipeline_spark.operators.multimodal import (
+        sample_png_frames,
+    )
+
+    pngs = [encode_png(bytes([f] * 16), 4, 4, 1) for f in range(6)]
+    df = spark.createDataFrame([(1, bytearray(b"".join(pngs)))],
+                               "asset_id bigint, media binary")
+    rows = sorted(sample_png_frames(df, stride=2).collect(),
+                  key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in rows] == [0, 2, 4]
+    for r, f in zip(rows, (0, 2, 4)):
+        assert decode_png(bytes(r["frame"]))[3] == bytes([f] * 16)
