@@ -116,8 +116,11 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     verification are re-aggregated and joined only onto the surviving
     candidate pairs, so no shingle array ever rides a band join. The
     shingle stream is evaluated twice (signature + verify branches) —
-    linear scan-side work; a 100 TB deployment checkpoints the exploded
-    shingles between the two.
+    linear scan-side work; xxhash64 re-evaluation is cheaper than an
+    eager checkpoint here (A/B at sf0.1: 2.46 s vs 2.88 s checkpointed),
+    while the md5 twin DOES checkpoint (its hashes dominate, 10.6 s →
+    4.7 s); a 100 TB deployment checkpoints in both cases because scan
+    cost, not hash cost, dominates there.
     """
     sh = shingles_exploded(df, id_col, text_col, 3)
     sig = sh.groupBy("id").agg(*[
@@ -304,12 +307,13 @@ def minhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
 
     h_i(s) = int(md5(f"{i}:{s}")[:15 hex]) — 60 bits, fits signed 64 on
     both engines; band key = md5 of the comma-joined 4-row slice. Same
-    plan as the xxhash64 path (exploded-shingle partial mins, band-bucket
-    self-join, verify-join on survivors only); md5 costs ~10× more per
-    hash than xxhash64, which is exactly why the PRODUCTION op keeps the
+    plan as the xxhash64 path (checkpointed exploded-shingle stream,
+    partial mins, band-bucket self-join, verify-join on survivors only);
+    the md5 family costs ~4× the whole-op time of xxhash64 (measured,
+    BASELINE.md), which is exactly why the PRODUCTION op keeps the
     engine hash and this variant exists for cross-engine audit.
     """
-    sh = shingles_exploded(df, id_col, text_col, 3)
+    sh = shingles_exploded(df, id_col, text_col, 3).localCheckpoint()
 
     def h(i: int) -> Column:
         return F.conv(F.substring(

@@ -730,7 +730,8 @@ def semdedup(emb: DataFrame, k_clusters: int = 8, threshold: float = 0.8,
 
     feats = emb.withColumn(
         "__features", array_to_vector(C(vec_col).cast("array<double>")))
-    model = KMeans(k=k_clusters, seed=42, featuresCol="__features",
+    model = KMeans(k=k_clusters, seed=42, maxIter=10,
+                   featuresCol="__features",
                    predictionCol="cluster_id").fit(feats)
     assigned = (model.transform(feats).drop("__features")
                 .select(C(id_col), C("cluster_id").cast("int"),
