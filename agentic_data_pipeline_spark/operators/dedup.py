@@ -146,7 +146,6 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
     pairs = (
         cand.join(sets.select(C("id").alias("a_id"), C("sh").alias("a_sh")),
                   "a_id")
@@ -297,22 +296,13 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a_id", "b_id")
 
 
-def minhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
-                           jaccard_threshold: float = 0.5) -> DataFrame:
-    """minhash_candidates with an md5-derived hash family instead of
-    xxhash64 — the AUDITABLE twin: both engines compute md5 of identical
-    strings, so signatures, band keys, candidate pairs, and verified
-    output are cross-engine exact and the whole LSH construction (not
-    just its adjunct verifiers) carries hash parity.
-
-    h_i(s) = int(md5(f"{i}:{s}")[:15 hex]) — 60 bits, fits signed 64 on
-    both engines; band key = md5 of the comma-joined 4-row slice. Same
-    plan as the xxhash64 path (checkpointed exploded-shingle stream,
-    partial mins, band-bucket self-join, verify-join on survivors only);
-    the md5 family costs ~4× the whole-op time of xxhash64 (measured,
-    BASELINE.md), which is exactly why the PRODUCTION op keeps the
-    engine hash and this variant exists for cross-engine audit.
-    """
+def _md5_bands_and_sets(df: DataFrame, id_col: str,
+                        text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared md5-family LSH construction: per-doc (band, band-hash) rows
+    and distinct-shingle sets, off ONE checkpointed exploded-shingle
+    stream (the md5 hashes dominate this variant's cost — A/B in
+    BASELINE.md — so the stream is materialized once and feeds both the
+    signature aggregate and the verify sets)."""
     sh = shingles_exploded(df, id_col, text_col, 3).localCheckpoint()
 
     def h(i: int) -> Column:
@@ -336,6 +326,27 @@ def minhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
             for b in range(BANDS)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
+    return bands, sets
+
+
+def minhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
+                           jaccard_threshold: float = 0.5) -> DataFrame:
+    """minhash_candidates with an md5-derived hash family instead of
+    xxhash64 — the AUDITABLE twin: both engines compute md5 of identical
+    strings, so signatures, band keys, candidate pairs, and verified
+    output are cross-engine exact and the whole LSH construction (not
+    just its adjunct verifiers) carries hash parity.
+
+    h_i(s) = int(md5(f"{i}:{s}")[:15 hex]) — 60 bits, fits signed 64 on
+    both engines; band key = md5 of the comma-joined 4-row slice. Same
+    plan as the xxhash64 path (checkpointed exploded-shingle stream,
+    partial mins, band-bucket self-join, verify-join on survivors only);
+    the md5 family costs ~4× the whole-op time of xxhash64 (measured,
+    BASELINE.md), which is exactly why the PRODUCTION op keeps the
+    engine hash and this variant exists for cross-engine audit.
+    """
+    bands, sets = _md5_bands_and_sets(df, id_col, text_col)
     a = bands.select(C("id").alias("a_id"), "band", "bh")
     b = bands.select(C("id").alias("b_id"), "band", "bh")
     cand = (
@@ -344,7 +355,6 @@ def minhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
     pairs = (
         cand.join(sets.select(C("id").alias("a_id"), C("sh").alias("a_sh")),
                   "a_id")
@@ -420,6 +430,99 @@ def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates_md5(docs, "doc_id", "text",
                                   jaccard_threshold=0.5) \
         .orderBy("a_id", "b_id")
+
+
+@op("ext_dedup_incremental_fuzzy", oracle=f"""
+    WITH tok AS ({_GRAMS_SQL}),
+    mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+    sh AS (SELECT doc_id AS id, UNNEST(grams) AS s FROM tok),
+    hs AS (
+        SELECT id, s, t.i,
+               CAST(('0x' || substring(md5(t.i || ':' || s), 1, 15))
+                    AS BIGINT) AS h
+        FROM sh, UNNEST(range({NUM_HASHES})) AS t(i)
+    ),
+    sig AS (SELECT id, i, MIN(h) AS mh FROM hs GROUP BY id, i),
+    bands AS (
+        SELECT id, i // {ROWS_PER_BAND} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+        FROM sig GROUP BY id, i // {ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT i.id AS inc_id, e.id AS ex_id
+        FROM bands i JOIN bands e USING (band, bh) CROSS JOIN mid
+        WHERE i.id >= mid.m AND e.id < mid.m
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT c.inc_id, c.ex_id,
+               CAST(len(list_intersect(ti.grams, te.grams)) AS DOUBLE)
+                 / (len(ti.grams) + len(te.grams)
+                    - len(list_intersect(ti.grams, te.grams))) AS j
+        FROM cand c
+        JOIN tok ti ON ti.doc_id = c.inc_id
+        JOIN tok te ON te.doc_id = c.ex_id
+    ),
+    agg AS (
+        SELECT inc_id, CAST(COUNT(DISTINCT ex_id) AS BIGINT) AS n_dup_of,
+               MAX(j) AS bj
+        FROM ver WHERE j >= 0.5 GROUP BY inc_id
+    )
+    SELECT d.doc_id, (a.inc_id IS NULL) AS admitted,
+           CAST(COALESCE(a.n_dup_of, 0) AS BIGINT) AS n_dup_of,
+           FLOOR(a.bj * 1e6) / 1e6 AS best_j
+    FROM documents d CROSS JOIN mid
+    LEFT JOIN agg a ON a.inc_id = d.doc_id
+    WHERE d.doc_id >= mid.m
+""")
+def ext_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY-dedup admission — the production shape for a
+    continuously-ingesting corpus: an incoming batch (docs above the
+    doc_id midpoint, the same deterministic yesterday/today stand-in as
+    ext_cdc_changelog) is admitted only if no LSH band collision with the
+    EXISTING corpus verifies at Jaccard ≥ 0.5. Completes the admission
+    family: ext_dedup_incremental (cdc.py) gates on exact fingerprints,
+    this op gates on near-duplicates.
+
+    Uses the md5 hash family (_md5_bands_and_sets), so the whole decision
+    — band collisions, verification, admit/reject — is hash-green against
+    the DuckDB replay. Scale shape: the existing side's bands/sets are
+    exactly what a production run keeps PERSISTED between batches (write
+    once, join per batch); the incoming batch is small, so the band join
+    broadcasts it — per-batch cost is proportional to the batch, not the
+    corpus. Within-batch duplicates are NOT collapsed here (that is
+    ext_dedup_minhash's job before admission), matching the exact-dedup
+    admission op's contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") / 2).cast("bigint").alias("__mid"))
+    d = docs.crossJoin(F.broadcast(mid))
+    existing = d.filter(C("doc_id") < C("__mid"))
+    incoming = d.filter(C("doc_id") >= C("__mid"))
+    eb, es = _md5_bands_and_sets(existing, "doc_id", "text")
+    ib, iset = _md5_bands_and_sets(incoming, "doc_id", "text")
+    cand = (ib.select(C("id").alias("inc_id"), "band", "bh")
+            .join(eb.select(C("id").alias("ex_id"), "band", "bh"),
+                  ["band", "bh"])
+            .select("inc_id", "ex_id")
+            .dropDuplicates(["inc_id", "ex_id"]))
+    pairs = (cand
+             .join(iset.select(C("id").alias("inc_id"),
+                               C("sh").alias("a_sh")), "inc_id")
+             .join(es.select(C("id").alias("ex_id"),
+                             C("sh").alias("b_sh")), "ex_id"))
+    j = jaccard(C("a_sh"), C("b_sh"))
+    agg = (pairs.filter(j >= 0.5)
+           .groupBy("inc_id")
+           .agg(F.countDistinct("ex_id").alias("__n"),
+                F.max(j).alias("__bj")))
+    return (incoming.select("doc_id")
+            .join(agg, C("doc_id") == C("inc_id"), "left")
+            .select("doc_id",
+                    C("inc_id").isNull().alias("admitted"),
+                    F.coalesce(C("__n"), F.lit(0).cast("bigint"))
+                    .alias("n_dup_of"),
+                    (F.floor(C("__bj") * 1e6) / 1e6).alias("best_j")))
 
 
 @op("ext_dedup_ngram", oracle=r"""

@@ -70,7 +70,7 @@ SECTIONS = [
         "ext_entropy", "ext_pmi_bigrams", "ext_rare_bigrams", "q_histogram",
         "ext_skew_report", "ext_bpe_merges", "ext_gopher_filters",
         "ext_dedup_minhash_clusters", "ext_dedup_clusters_bounded",
-        "ext_dedup_minhash_md5",
+        "ext_dedup_minhash_md5", "ext_dedup_incremental_fuzzy",
         "ext_lm_perplexity", "ext_lm_score_holdout",
         "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
         "ext_semdedup", "ext_knn_graph", "ext_dedup_containment",
