@@ -146,6 +146,7 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
     pairs = (
         cand.join(sets.select(C("id").alias("a_id"), C("sh").alias("a_sh")),
                   "a_id")
@@ -432,7 +433,7 @@ def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a_id", "b_id")
 
 
-@op("ext_dedup_incremental_fuzzy", oracle=f"""
+INC_FUZZY_ORACLE = f"""
     WITH tok AS ({_GRAMS_SQL}),
     mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
     sh AS (SELECT doc_id AS id, UNNEST(grams) AS s FROM tok),
@@ -474,7 +475,10 @@ def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d CROSS JOIN mid
     LEFT JOIN agg a ON a.inc_id = d.doc_id
     WHERE d.doc_id >= mid.m
-""")
+"""
+
+
+@op("ext_dedup_incremental_fuzzy", oracle=INC_FUZZY_ORACLE)
 def ext_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUZZY-dedup admission — the production shape for a
     continuously-ingesting corpus: an incoming batch (docs above the

@@ -18,6 +18,7 @@ from ..catalog import table_path
 from ..registry import op
 from ..streaming.windows import run_stream_to_table
 from .sessionize import SESSIONIZE_ORACLE as _SESSIONIZE_ORACLE
+from .dedup import INC_FUZZY_ORACLE as _INC_FUZZY_ORACLE
 
 
 def _as_stream_dir(parquet_path: str) -> str:
@@ -305,3 +306,106 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
     return spark.read.parquet(state["path"])
+
+
+@op("stream_dedup_fuzzy", oracle=_INC_FUZZY_ORACLE)
+def stream_dedup_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fuzzy-dedup admission: the foreachBatch twin of
+    ext_dedup_incremental_fuzzy, sharing its oracle. The documents table
+    is staged as two parquet files split at the doc_id midpoint;
+    `maxFilesPerTrigger=1` + availableNow delivers them as two ordered
+    micro-batches. foreachBatch keeps a cross-batch LSH index (bands +
+    shingle sets, localCheckpoint-pinned): batch 0 seeds it, batch 1 is
+    admitted against it — so the emitted decisions hash-equal the batch
+    op's, proving the STATEFUL streaming path end-to-end against DuckDB.
+
+    Scale shape: this is the real continuous-ingest topology — the band
+    index is the state a production job persists (here: block-manager
+    checkpoints; in production: a Delta/parquet table appended per
+    batch); per-batch cost tracks the batch (probe_incremental_fuzzy.py
+    measures it flat under 16× corpus growth).
+    """
+    import uuid as _uuid
+
+    from ..operators.dedup import _md5_bands_and_sets, jaccard
+    from ..operators.reference_ops import (
+        _lake_fp, _materialize_once, _sf_scratch,
+    )
+
+    C = F.col
+    src = _sf_scratch(sf_dir, "stream_fuzzy_src")
+
+    def write_src() -> None:
+        import duckdb
+
+        os.makedirs(src, exist_ok=True)
+        lake = table_path(sf_dir, "documents")
+        con = duckdb.connect()
+        m = con.execute(f"SELECT MAX(doc_id) // 2 FROM "
+                        f"read_parquet('{lake}')").fetchone()[0]
+        for name, cond in (("batch0", f"doc_id < {m}"),
+                           ("batch1", f"doc_id >= {m}")):
+            con.execute(f"COPY (SELECT * FROM read_parquet('{lake}') "
+                        f"WHERE {cond}) TO '{src}/{name}.parquet' "
+                        f"(FORMAT PARQUET)")
+        # file source orders by modification time: force batch0 older
+        now = os.path.getmtime(f"{src}/batch1.parquet")
+        os.utime(f"{src}/batch0.parquet", (now - 60, now - 60))
+        open(f"{src}/_SUCCESS", "w").close()
+
+    _materialize_once(src, write_src, _lake_fp(sf_dir, "documents"))
+
+    schema = spark.read.parquet(f"{src}/batch0.parquet").schema
+    state: dict = {}
+    decisions: list = []
+
+    def handle(bdf: DataFrame, batch_id: int) -> None:
+        bdf = bdf.localCheckpoint()
+        bands, sets = _md5_bands_and_sets(bdf, "doc_id", "text")
+        bands, sets = bands.localCheckpoint(), sets.localCheckpoint()
+        if "bands" in state:
+            eb, es = state["bands"], state["sets"]
+            cand = (bands.select(C("id").alias("inc_id"), "band", "bh")
+                    .join(eb.select(C("id").alias("ex_id"), "band", "bh"),
+                          ["band", "bh"])
+                    .select("inc_id", "ex_id")
+                    .dropDuplicates(["inc_id", "ex_id"]))
+            pairs = (cand
+                     .join(sets.select(C("id").alias("inc_id"),
+                                       C("sh").alias("a_sh")), "inc_id")
+                     .join(es.select(C("id").alias("ex_id"),
+                                     C("sh").alias("b_sh")), "ex_id"))
+            j = jaccard(C("a_sh"), C("b_sh"))
+            agg = (pairs.filter(j >= 0.5)
+                   .groupBy("inc_id")
+                   .agg(F.countDistinct("ex_id").alias("__n"),
+                        F.max(j).alias("__bj")))
+            decisions.append(
+                bdf.select("doc_id")
+                .join(agg, C("doc_id") == C("inc_id"), "left")
+                .select("doc_id",
+                        C("inc_id").isNull().alias("admitted"),
+                        F.coalesce(C("__n"), F.lit(0).cast("bigint"))
+                        .alias("n_dup_of"),
+                        (F.floor(C("__bj") * 1e6) / 1e6).alias("best_j"))
+                .localCheckpoint())
+            state["bands"] = state["bands"].unionByName(bands)
+            state["sets"] = state["sets"].unionByName(sets)
+        else:
+            state["bands"], state["sets"] = bands, sets
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(src)
+         .writeStream.foreachBatch(handle)
+         .option("checkpointLocation",
+                 os.path.join("/root/repo/.tmp", "stream_ckpt",
+                              f"fuzzy_{_uuid.uuid4().hex[:8]}"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    assert len(decisions) == 1, (
+        f"expected exactly 2 micro-batches (got {len(decisions) + 1}); "
+        "maxFilesPerTrigger/file-ordering assumption broken")
+    return decisions[0]
+

@@ -88,7 +88,7 @@ SECTIONS = [
                          "stream_dedup_watermark",
                          "stream_join", "stream_stream_join",
                          "stream_sessionize", "stream_to_bronze",
-                         "stream_upsert"]),
+                         "stream_upsert", "stream_dedup_fuzzy"]),
 ]
 
 
