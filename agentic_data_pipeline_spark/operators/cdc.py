@@ -11,6 +11,8 @@ from a fresh crawl batch, and keep file sizes healthy as appends accumulate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -465,3 +467,116 @@ def ext_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(C("old_n0"), F.lit(0)).cast("bigint")
                     .alias("old_n"),
                     C("new_n")))
+
+
+# --- snapshot-versioned storage (sources/snapshots.py: Iceberg's manifest
+# commit model over plain parquet). The table is built ONCE per lake
+# generation (fingerprint-keyed): v1 appends the first event_id third,
+# v2 appends the second, v3 OVERWRITES with the last third — so the three
+# manifests reference overlapping-but-different file sets and every
+# version stays readable after the overwrite.
+
+def _snapshot_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import duckdb
+
+    from ..catalog import table_path
+    from ..sources.snapshots import commit_snapshot
+    from .reference_ops import _lake_fp, _materialize_once, _sf_scratch
+
+    table = _sf_scratch(sf_dir, "snap_table")
+
+    def build() -> None:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        lake = table_path(sf_dir, "events")
+        con = duckdb.connect()
+        mx = con.execute(
+            f"SELECT MAX(event_id) FROM read_parquet('{lake}')").fetchone()[0]
+        t1, t2 = mx // 3, 2 * mx // 3
+        ev = load_table(spark, sf_dir, "events")
+        commit_snapshot(ev.filter(C("event_id") < t1), table, "append")
+        commit_snapshot(
+            ev.filter((C("event_id") >= t1) & (C("event_id") < t2)),
+            table, "append")
+        commit_snapshot(ev.filter(C("event_id") >= t2), table, "overwrite")
+        os.makedirs(table, exist_ok=True)
+        open(os.path.join(table, "_SUCCESS"), "w").close()
+
+    _materialize_once(table, build, _lake_fp(sf_dir, "events"))
+    return table
+
+
+@op("ext_snapshot_versions", oracle="""
+    WITH b AS (SELECT MAX(event_id) // 3 AS t1,
+                      2 * MAX(event_id) // 3 AS t2 FROM events),
+    tagged AS (
+        SELECT v.v AS version, e.value
+        FROM events e CROSS JOIN b, UNNEST([1, 2, 3]) AS v(v)
+        WHERE (v.v = 1 AND e.event_id < b.t1)
+           OR (v.v = 2 AND e.event_id < b.t2)
+           OR (v.v = 3 AND e.event_id >= b.t2)
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM tagged GROUP BY version
+""")
+def ext_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel over the manifest-committed table
+    (sources/snapshots.py): read EVERY version of a table whose history
+    is append → append → overwrite, and aggregate each. v1/v2 remain
+    exactly readable after v3's overwrite because the overwrite only
+    published a new manifest — the oracle replays each snapshot's
+    membership from the event_id thirds, so hash parity proves the
+    manifest resolution returns precisely the right file sets for every
+    historical version. Planning is O(manifest) driver work; each scan is
+    an ordinary parquet read of only that snapshot's files."""
+    from functools import reduce
+
+    from ..sources.snapshots import read_snapshot, snapshot_versions
+
+    table = _snapshot_fixture(spark, sf_dir)
+    parts = [
+        read_snapshot(spark, table, v)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
+              .cast("double") / 100.0).alias("sum_value"))
+        .select(F.lit(v).cast("int").alias("version"), "n_rows", "sum_value")
+        for v in snapshot_versions(table)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@op("ext_time_travel_diff", oracle="""
+    WITH b AS (SELECT MAX(event_id) // 3 AS t1,
+                      2 * MAX(event_id) // 3 AS t2 FROM events),
+    v1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events, b WHERE event_id < t1 GROUP BY event_type),
+    v3 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events, b WHERE event_id >= t2 GROUP BY event_type)
+    SELECT COALESCE(v1.event_type, v3.event_type) AS event_type,
+           CAST(COALESCE(v1.n, 0) AS BIGINT) AS n_asof_v1,
+           CAST(COALESCE(v3.n, 0) AS BIGINT) AS n_current,
+           CAST(COALESCE(v3.n, 0) - COALESCE(v1.n, 0) AS BIGINT) AS delta
+    FROM v1 FULL OUTER JOIN v3 ON v1.event_type = v3.event_type
+""")
+def ext_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff: per-event_type counts AS OF snapshot v1 vs the
+    current snapshot (v3, which overwrote) — the audit query a lakehouse
+    answers with `VERSION AS OF`, here answered by resolving two
+    manifests of the same table and joining two ordinary aggregates."""
+    from ..sources.snapshots import read_snapshot
+
+    table = _snapshot_fixture(spark, sf_dir)
+    counts = lambda df, name: (  # noqa: E731
+        df.groupBy("event_type").agg(F.count(F.lit(1)).alias(name)))
+    v1 = counts(read_snapshot(spark, table, 1), "n_asof_v1")
+    v3 = counts(read_snapshot(spark, table, None), "n_current")  # latest
+    return (v1.join(v3, "event_type", "full_outer")
+            .select("event_type",
+                    F.coalesce(C("n_asof_v1"), F.lit(0)).alias("n_asof_v1"),
+                    F.coalesce(C("n_current"), F.lit(0)).alias("n_current"),
+                    (F.coalesce(C("n_current"), F.lit(0))
+                     - F.coalesce(C("n_asof_v1"), F.lit(0))).alias("delta")))

@@ -78,6 +78,7 @@ SECTIONS = [
         "ext_sample_fixed_n", "ext_knn_graph_batch", "ext_word2vec_train",
         "ext_embed_word2vec",
         "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
+        "ext_snapshot_versions", "ext_time_travel_diff",
         "ext_training_prep_pipeline", "ext_temperature_sample",
         "ext_upsample_repeat",
     ]),
