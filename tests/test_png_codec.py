@@ -118,3 +118,42 @@ def test_sample_png_frames_keeps_every_strideth(spark):
     assert [r["frame_no"] for r in rows] == [0, 2, 4]
     for r, f in zip(rows, (0, 2, 4)):
         assert decode_png(bytes(r["frame"]))[3] == bytes([f] * 16)
+
+
+# ---- property tests (hypothesis): the codec must round-trip ARBITRARY
+# pixel content at arbitrary small geometries, under every filter type.
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        filter_type=st.integers(0, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def test_property_roundtrip_any_image(w, h, channels, filter_type, seed):
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        assert decode_png(encode_png(px, w, h, channels, filter_type)) == \
+            (w, h, channels, px)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 16), h=st.integers(1, 16),
+        nw=st.integers(1, 16), nh=st.integers(1, 16),
+        seed=st.integers(0, 2**31),
+    )
+    def test_property_resize_indices(w, h, nw, nh, seed):
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        out = resize_nearest(px, w, h, 1, nw, nh)
+        assert len(out) == nw * nh
+        for r in range(nh):
+            for c in range(nw):
+                assert out[r * nw + c] == px[(r * h // nh) * w
+                                             + (c * w // nw)]
+except ImportError:  # pragma: no cover — hypothesis ships in the container
+    pass

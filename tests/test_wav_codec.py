@@ -52,3 +52,22 @@ def test_resample_nearest_index_math():
     s = list(range(64))
     assert resample_nearest(s, 32) == s[::2]
     assert resample_nearest([1, 2], 4) == [1, 1, 2, 2]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 200), channels=st.sampled_from([1, 2]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_property_roundtrip_any_audio(n, channels, rate, seed):
+        rng = random.Random(seed)
+        samples = [rng.randint(-32768, 32767) for _ in range(n * channels)]
+        assert decode_wav(encode_wav(samples, rate, channels)) == \
+            (rate, channels, samples)
+except ImportError:  # pragma: no cover
+    pass
