@@ -791,3 +791,104 @@ def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sqrt(F.aggregate(
                         F.transform(arr, lambda x: x * x),
                         F.lit(0.0), lambda a, x: a + x)), 6).alias("l2")))
+
+
+# ------------------------------------------------------------- BM25 search
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("vector", "join", "scan")  # fixed demo query (mid-df terms)
+
+
+def _bm25_oracle() -> str:
+    tok = (r"string_split_regex(trim(regexp_replace(lower(text), "
+           r"'[^a-z]+', ' ', 'g')), '\s+')")
+    tf = {t: f"len(list_filter({tok}, x -> x = '{t}'))" for t in BM25_TERMS}
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS)
+    # Per-term score mirrors the Spark expression ORDER exactly; the three
+    # term scores are added in FIXED left-to-right order (never a SUM over
+    # rows, whose accumulation order is engine-local).
+    def s(t: str) -> str:
+        idf = (f"ln((((st.n - st.df_{t}) + 0.5) / (st.df_{t} + 0.5)) + 1.0)")
+        norm = (f"({BM25_B} * (CAST(d.dl AS DOUBLE) / "
+                f"(CAST(st.sdl AS DOUBLE) / st.n)))")
+        denom = f"(CAST(d.tf_{t} AS DOUBLE) + {BM25_K1} * (0.25 + {norm}))"
+        return (f"(CASE WHEN d.tf_{t} > 0 THEN {idf} * "
+                f"((CAST(d.tf_{t} AS DOUBLE) * {BM25_K1 + 1.0}) / {denom}) "
+                f"ELSE 0.0 END)")
+
+    score = " + ".join(s(t) for t in BM25_TERMS)
+    tfs = ", ".join(f"{tf[t]} AS tf_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, len({tok}) AS dl, {tfs} FROM documents
+    ),
+    st AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sdl, {dfs} FROM d
+    )
+    SELECT d.doc_id, FLOOR(({score}) * 1e6) / 1e6 AS bm25
+    FROM d CROSS JOIN st
+    ORDER BY ({score}) DESC, d.doc_id
+    LIMIT 10
+    """
+
+
+@op("ext_bm25_search", oracle=_bm25_oracle())
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75):
+    top-10 documents for a fixed 3-term query — the lexical-search
+    complement to the vector/ANN retrieval family (hybrid search runs
+    both and fuses).
+
+    Engine-exactness design: corpus stats (N, Σdl, per-term df) reduce to
+    ONE 1-row broadcast; every per-doc term score is a closed-form scalar
+    expression evaluated in the same operation order on both engines, and
+    the three term scores add in FIXED left-to-right order — never a SUM
+    over rows, whose accumulation order is engine-local. ln() may differ
+    by 1 ulp across libm implementations; that noise (~1e-16 relative)
+    sits eight orders below both the 6dp display truncation and any
+    distinct-stat score gap, and docs with identical (tf…, dl) tuples
+    produce bit-identical scores on each engine so ties break by doc_id
+    identically. Scale shape: stats aggregate (one shuffle) + map-only
+    scoring fused into the scan + TakeOrderedAndProject top-k; at 100 TB
+    the same query runs off the inverted index (ext_inverted_index)
+    instead of a rescan — the scoring arithmetic is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(C("text")),
+                                           "[^a-z]+", " ")), " ")
+    def tf_col(t: str):
+        # factory closure: a 2-arg lambda would hit Spark's (element,
+        # index) HOF signature and compare strings to indices
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    d = docs.select(
+        "doc_id", F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{t}") for t in BM25_TERMS])
+    st = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"),
+        *[F.sum(F.when(C(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+          for t in BM25_TERMS])
+
+    def s(t: str):
+        idf = F.log(((C("n") - C(f"df_{t}")) + 0.5)
+                    / (C(f"df_{t}") + 0.5) + 1.0)
+        norm = BM25_B * (C("dl").cast("double")
+                         / (C("sdl").cast("double") / C("n")))
+        denom = (C(f"tf_{t}").cast("double")
+                 + BM25_K1 * (F.lit(0.25) + norm))
+        return F.when(
+            C(f"tf_{t}") > 0,
+            idf * ((C(f"tf_{t}").cast("double") * F.lit(BM25_K1 + 1.0))
+                   / denom)).otherwise(F.lit(0.0))
+
+    score = s(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + s(t)
+    return (d.crossJoin(F.broadcast(st))
+            .select("doc_id", score.alias("__s"))
+            .orderBy(C("__s").desc(), "doc_id")
+            .limit(10)
+            .select("doc_id", (F.floor(C("__s") * 1e6) / 1e6).alias("bm25")))
