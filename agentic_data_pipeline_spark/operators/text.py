@@ -800,13 +800,16 @@ BM25_B = 0.75
 BM25_TERMS = ("vector", "join", "scan")  # fixed demo query (mid-df terms)
 
 
-def _bm25_oracle() -> str:
+def _bm25_sql_parts() -> tuple[str, str]:
+    """(CTE text defining d/st, per-doc score expression) — shared by the
+    BM25 oracle and the hybrid-fusion oracle."""
     tok = (r"string_split_regex(trim(regexp_replace(lower(text), "
            r"'[^a-z]+', ' ', 'g')), '\s+')")
     tf = {t: f"len(list_filter({tok}, x -> x = '{t}'))" for t in BM25_TERMS}
     dfs = ", ".join(
         f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
         for t in BM25_TERMS)
+
     # Per-term score mirrors the Spark expression ORDER exactly; the three
     # term scores are added in FIXED left-to-right order (never a SUM over
     # rows, whose accumulation order is engine-local).
@@ -821,13 +824,19 @@ def _bm25_oracle() -> str:
 
     score = " + ".join(s(t) for t in BM25_TERMS)
     tfs = ", ".join(f"{tf[t]} AS tf_{t}" for t in BM25_TERMS)
-    return f"""
-    WITH d AS (
+    cte = f"""d AS (
         SELECT doc_id, len({tok}) AS dl, {tfs} FROM documents
     ),
     st AS (
         SELECT COUNT(*) AS n, SUM(dl) AS sdl, {dfs} FROM d
-    )
+    )"""
+    return cte, score
+
+
+def _bm25_oracle() -> str:
+    cte, score = _bm25_sql_parts()
+    return f"""
+    WITH {cte}
     SELECT d.doc_id, FLOOR(({score}) * 1e6) / 1e6 AS bm25
     FROM d CROSS JOIN st
     ORDER BY ({score}) DESC, d.doc_id
@@ -892,3 +901,117 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(C("__s").desc(), "doc_id")
             .limit(10)
             .select("doc_id", (F.floor(C("__s") * 1e6) / 1e6).alias("bm25")))
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack '09)
+
+
+def _hybrid_oracle() -> str:
+    from .similarity import _duck_cos
+
+    cte, score = _bm25_sql_parts()
+    return f"""
+    WITH {cte},
+    br AS (
+        SELECT d.doc_id AS id,
+               ROW_NUMBER() OVER (ORDER BY ({score}) DESC, d.doc_id)
+                   AS r_bm25
+        FROM d CROSS JOIN st
+    ),
+    vr AS (
+        SELECT e.vec_id AS id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_duck_cos('e.embedding', 'q.embedding')} DESC,
+                            e.vec_id) AS r_vec
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    )
+    SELECT br.id AS doc_id,
+           CAST(br.r_bm25 AS BIGINT) AS r_bm25,
+           CAST(vr.r_vec AS BIGINT)  AS r_vec,
+           FLOOR((1.0 / ({RRF_K} + br.r_bm25)
+                  + 1.0 / ({RRF_K} + vr.r_vec)) * 1e6) / 1e6 AS rrf
+    FROM br JOIN vr ON vr.id = br.id
+    ORDER BY (1.0 / ({RRF_K} + br.r_bm25)
+              + 1.0 / ({RRF_K} + vr.r_vec)) DESC, br.id
+    LIMIT 10
+    """
+
+
+@op("ext_hybrid_search", oracle=_hybrid_oracle())
+def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, k=60 — Cormack et
+    al. 2009, the standard parameter-free fusion) of the BM25 lexical
+    ranking and the exact-cosine vector ranking (query = vector #0),
+    fused over the ids carrying BOTH modalities (at some SFs the
+    embedding table covers a subset of the corpus — partial modality
+    coverage is the production norm, and RRF handles it by construction).
+
+    Engine-exactness: both input rankings are integer ROW_NUMBERs over
+    deterministic orderings (BM25's fixed-order score with doc_id
+    tiebreak; the bit-identical cosine fold with vec_id tiebreak), and
+    the fused score is 1/(k+r1) + 1/(k+r2) in fixed order — pure integer-
+    derived arithmetic, bit-identical across engines. Scale shape: two
+    rank windows (each a global sort at demo size; at 100 TB each side is
+    already a top-N retrieval so the windows run over N rows, not the
+    corpus) + one join on id + TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import dot, l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(C("text")),
+                                           "[^a-z]+", " ")), " ")
+
+    def tf_col(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    d = docs.select(
+        "doc_id", F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{t}") for t in BM25_TERMS])
+    st = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"),
+        *[F.sum(F.when(C(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+          for t in BM25_TERMS])
+
+    def s(t: str):
+        idf = F.log(((C("n") - C(f"df_{t}")) + 0.5)
+                    / (C(f"df_{t}") + 0.5) + 1.0)
+        norm = BM25_B * (C("dl").cast("double")
+                         / (C("sdl").cast("double") / C("n")))
+        denom = (C(f"tf_{t}").cast("double")
+                 + BM25_K1 * (F.lit(0.25) + norm))
+        return F.when(
+            C(f"tf_{t}") > 0,
+            idf * ((C(f"tf_{t}").cast("double") * F.lit(BM25_K1 + 1.0))
+                   / denom)).otherwise(F.lit(0.0))
+
+    score = s(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + s(t)
+    br = (d.crossJoin(F.broadcast(st))
+          .select("doc_id", score.alias("__s"))
+          .withColumn("r_bm25", F.row_number().over(
+              Window.orderBy(C("__s").desc(), C("doc_id"))).cast("bigint"))
+          .select(C("doc_id").alias("id"), "r_bm25"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(C("vec_id") == 0).select(
+        C("embedding").alias("__qv"), l2_norm(C("embedding")).alias("__qn"))
+    sim = dot(C("embedding"), C("__qv")) / (l2_norm(C("embedding"))
+                                            * C("__qn"))
+    vr = (emb.crossJoin(F.broadcast(q))
+          .select(C("vec_id").alias("id"), sim.alias("__sim"))
+          .withColumn("r_vec", F.row_number().over(
+              Window.orderBy(C("__sim").desc(), C("id"))).cast("bigint"))
+          .select("id", "r_vec"))
+
+    rrf = (1.0 / (RRF_K + C("r_bm25"))) + (1.0 / (RRF_K + C("r_vec")))
+    return (br.join(vr, "id")
+            .select(C("id").alias("doc_id"), "r_bm25", "r_vec",
+                    rrf.alias("__rrf"))
+            .orderBy(C("__rrf").desc(), "doc_id")
+            .limit(10)
+            .select("doc_id", "r_bm25", "r_vec",
+                    (F.floor(C("__rrf") * 1e6) / 1e6).alias("rrf")))

@@ -73,7 +73,7 @@ SECTIONS = [
         "ext_dedup_minhash_md5", "ext_dedup_incremental_fuzzy",
         "ext_lm_perplexity", "ext_lm_score_holdout",
         "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
-        "ext_bm25_search",
+        "ext_bm25_search", "ext_hybrid_search",
         "ext_semdedup", "ext_knn_graph", "ext_dedup_containment",
         "ext_pagerank", "ext_data_profile", "ext_bucketed_join",
         "ext_sample_fixed_n", "ext_knn_graph_batch", "ext_word2vec_train",
