@@ -46,13 +46,22 @@ KEYS = {
     "embeddings": ["vec_id"],
 }
 
-HEADLINE = [  # the classic 15 — same set as bench.py's r1-r4 lineage
-    "q1_pricing_summary", "q_groupby", "q_join_left", "q_window_agg",
-    "q_topk", "q_tumble", "ext_dedup_exact", "ext_text_stats",
-    "vector_search", "ext_similarity_topk", "ext_sessionize",
-    "ext_asof_join", "ext_docs_to_chunks", "q21_waiting_suppliers",
-    "ext_curation_pipeline",
-]
+# Same query set as bench.py (v2: classic 15 + TPC-H rest + heavy ext
+# ops, with the same iterative-op REBUILD semantics), so the sf1 tier
+# answers the exact question the sf0.1 artifact raises: does the widened
+# set's ratio drop out of the scheduling floor at 10x the data?
+from bench import CLASSIC, HEADLINE as _V2, REBUILD  # noqa: E402
+
+# ext_semdedup is excluded at this tier (recorded in the JSON, not
+# silent): its within-cluster pair space is quadratic and the op pins the
+# fixture's k=8 — at 10x the corpus the documented operating rule is to
+# raise k with N, so timing the fixture configuration here would measure
+# a misconfiguration, and as a rows-only op it contributes nothing to the
+# twin ratio either way.
+SKIPPED = {"ext_semdedup": "k-means block count must scale with corpus "
+                           "(op pins fixture k=8); rows-only, no ratio "
+                           "contribution"}
+HEADLINE = [n for n in _V2 if n not in SKIPPED]
 
 
 def build_lake() -> None:
@@ -106,11 +115,12 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark(app_name="adps-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
-    dfs = {n: OPS[n].fn(spark, DST) for n in HEADLINE}
+    dfs = {n: OPS[n].fn(spark, DST) for n in HEADLINE if n not in REBUILD}
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
-        dfs[name].write.mode("overwrite").format("noop").save()
+        df = OPS[name].fn(spark, DST) if name in REBUILD else dfs[name]
+        df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     for _ in range(2):
@@ -135,13 +145,18 @@ def main() -> None:
 
     cov = [n for n in HEADLINE if n in duck]
     s, d = sum(timings[n] for n in cov), sum(duck[n] for n in cov)
+    ccov = [n for n in CLASSIC if n in duck]
+    cs, cd = sum(timings[n] for n in ccov), sum(duck[n] for n in ccov)
     print(json.dumps({
         "metric": "sf1_headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec", "sf": 1.0, "replicas_of_sf0.1": REPLICAS,
+        "set_version": "v2", "n_queries": len(HEADLINE),
         "queries": timings, "duckdb_twin_sec": duck,
         "spark_cov_sec": round(s, 3), "duck_cov_sec": round(d, 3),
         "spark_over_duckdb_ratio": round(s / d, 3) if d else None,
+        "classic15_ratio": round(cs / cd, 3) if cd else None,
+        "skipped": SKIPPED,
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }))
 
