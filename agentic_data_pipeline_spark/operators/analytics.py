@@ -74,7 +74,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     return (
         orders.join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
-        .join(li, C("l_orderkey") == C("o_orderkey"))
+        # fact ⋈ fact: hint a shuffle hash join — Catalyst would broadcast
+        # the filtered lineitem side once it slips under the threshold,
+        # and broadcasting a subtree that GROWS with the fact table loses
+        # at scale (measured at the sf1 tier: 1.75 s → 0.77 s) and is a
+        # driver hazard at 100 TB; dims stay broadcast.
+        .join(li.hint("shuffle_hash"), C("l_orderkey") == C("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_revenue().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -267,8 +272,11 @@ def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter((C("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
                       & (C("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))))
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # fact-side build: hint shuffle hash — broadcasting the (fact-sized)
+    # lineitem projection loses at scale (sf1: 2.7 s → 0.7 s) and would be
+    # a driver hazard at 100 TB.
     late = orders.join(
-        li,
+        li.hint("shuffle_hash"),
         (C("l_orderkey") == C("o_orderkey"))
         & (C("l_shipdate") > C("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         "left_semi")
@@ -556,7 +564,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.withColumnRenamed("l_orderkey", "b_orderkey"),
         C("l_orderkey") == C("b_orderkey"), "left_semi")
     return (
-        qualifying.join(orders, C("l_orderkey") == C("o_orderkey"))
+        # orders is fact-sized: shuffle hash, never broadcast (see q4)
+        qualifying.join(orders.hint("shuffle_hash"),
+                        C("l_orderkey") == C("o_orderkey"))
         .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
         .agg((F.sum(cents("l_quantity")).cast("double") / 100.0)
