@@ -82,11 +82,35 @@ def train_word2vec_vectors(spark: SparkSession, sf_dir: str,
 # once and serves every Arrow batch from memory — the same once-per-
 # executor amortization make_embedder_udf gives the sentence-transformers
 # model (similarity.py), proven here with a model that actually exists.
-_W2V_CACHE: dict[str, dict[str, np.ndarray]] = {}
+# Keyed on (path, artifact fingerprint), NOT path alone: the artifact
+# path is lake-generation-independent, so if the lake is regenerated
+# within a session _materialize_once rewrites the artifact in place — a
+# path-only cache on a long-lived worker would keep serving the STALE
+# vectors (the same within-session hazard the cdc.py bucketed-table
+# sidecar check closes). The fingerprint is resolved driver-side at
+# UDF-creation time and closed over, so workers never stat the artifact.
+_W2V_CACHE: dict[tuple[str, str], dict[str, np.ndarray]] = {}
 
 
-def _load_vectors(path: str) -> dict[str, np.ndarray]:
-    if path not in _W2V_CACHE:
+def artifact_fingerprint(path: str) -> str:
+    """Content fingerprint of a _materialize_once artifact: the sidecar's
+    recorded lake fingerprint (written atomically LAST), falling back to
+    the artifact mtime for artifacts written by other means."""
+    import os
+
+    sidecar = path + ".fpr"
+    if os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            return f.read()
+    try:
+        return str(os.stat(path).st_mtime_ns)
+    except OSError:
+        return ""
+
+
+def _load_vectors(path: str, fp: str) -> dict[str, np.ndarray]:
+    key = (path, fp)
+    if key not in _W2V_CACHE:
         import glob
 
         import pyarrow.parquet as pq
@@ -95,8 +119,8 @@ def _load_vectors(path: str) -> dict[str, np.ndarray]:
         t = pq.read_table(files if files else path)
         words = t.column("word").to_pylist()
         vecs = np.asarray(t.column("vec").to_pylist(), dtype=np.float32)
-        _W2V_CACHE[path] = dict(zip(words, vecs))
-    return _W2V_CACHE[path]
+        _W2V_CACHE[key] = dict(zip(words, vecs))
+    return _W2V_CACHE[key]
 
 
 def make_word2vec_embedder_udf(vectors_path: str, dim: int = W2V_DIM):
@@ -104,10 +128,11 @@ def make_word2vec_embedder_udf(vectors_path: str, dim: int = W2V_DIM):
     [a-z]+ runs of the lowercased text (the training tokenization), vector
     = L2-normalized float64 mean of the token vectors, emitted float32.
     Out-of-vocab-only / empty docs embed to the zero vector."""
+    artifact_fp = artifact_fingerprint(vectors_path)
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        vocab = _load_vectors(vectors_path)
+        vocab = _load_vectors(vectors_path, artifact_fp)
         zero = np.zeros(dim, dtype=np.float32)
         for s in batches:
             out = []

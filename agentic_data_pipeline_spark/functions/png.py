@@ -167,12 +167,21 @@ def split_png_stream(data: bytes) -> list[bytes]:
     pos = 0
     while data[pos:pos + 8] == _SIG:
         p = pos + 8
+        ended = False
         while p + 8 <= len(data):
             (length,) = struct.unpack(">I", data[p:p + 4])
             tag = data[p + 4:p + 8]
             p += 12 + length
+            if p > len(data):
+                break  # corrupt/truncated length field strode off the end
             if tag == b"IEND":
+                ended = True
                 break
+        if not ended:
+            # Truncated trailing frame (IEND never reached): DROP it
+            # rather than emit a garbage blob that fails deep inside the
+            # executor's zlib with an opaque error.
+            break
         frames.append(data[pos:p])
         pos = p
     return frames

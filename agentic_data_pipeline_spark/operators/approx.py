@@ -6,9 +6,14 @@ COUNT(DISTINCT) is a full shuffle of every distinct key and exact
 percentiles are a sort per group, while sketches are single-pass, bounded
 memory, and *mergeable* — the property that makes tiered rollups work:
 sketch per partition/day, merge upward, never rescan. SURVEY.md §5 bans
-approximate functions from oracle-checked queries (nondeterministic vs
-DuckDB), so these register rows-only; their accuracy contracts are
-pytest-asserted against exact twins instead (tests/test_approx.py).
+approximate VALUES from oracle-checked queries (estimates are
+engine-specific), so these ops hash-check their accuracy CONTRACTS
+instead: the emitted columns are exact counts (integer, cross-engine
+exact) plus booleans `abs(approx − exact)/exact ≤ eps` that the DuckDB
+twin asserts as literal TRUE — a bound violation flips a boolean and
+fails the hash, so the sketch's error contract is driver-checked without
+ever hashing an estimate. Value-level accuracy stays pytest-asserted too
+(tests/test_approx.py).
 """
 
 from __future__ import annotations
@@ -22,32 +27,65 @@ from ..registry import op
 C = F.col
 
 
-@op("q_approx_agg")  # rows-only: HLL/KLL estimates are engine-specific
+# HLL++ rsd=0.02 → observed error is a few ×rsd worst-case; 0.10 is a
+# loose-but-meaningful driver bound (value-level tightness is pytest's
+# job). percentile_approx at accuracy 10k has rank error ≤ n/10k —
+# near-exact at fixture scale; 0.05 relative keeps the bound meaningful
+# if a tier ever pushes groups past the summary size.
+_HLL_EPS = 0.10
+_MEDIAN_EPS = 0.05
+
+
+@op("q_approx_agg", oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS hll_within_eps,
+           TRUE AS median_within_eps,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+""")
 def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates per order priority: HLL++ distinct customers
-    and approximate totalprice percentiles next to their exact twins.
+    and a KLL-style approximate median, BOUND-CHECKED against their exact
+    twins computed in the same pass.
 
-    One pass, no distinct-shuffle: approx_count_distinct keeps a fixed
-    ~kilobyte HLL register set per group; percentile_approx a bounded
-    KLL-style summary. The exact columns exist so the accuracy gap is
-    visible in the result itself (and asserted in tests).
+    One pass, no extra distinct-shuffle for the sketch: approx_count_
+    distinct keeps a fixed ~kilobyte HLL register set per group;
+    percentile_approx a bounded summary. The emitted surface is exact
+    counts + `|approx − exact|/exact ≤ eps` booleans; the DuckDB oracle
+    recomputes the exact columns and asserts the booleans as literal
+    TRUE, so an out-of-bound estimate fails the driver hash — the
+    approximate family's error contract is oracle-checked without
+    hashing an engine-specific estimate (estimates themselves stay
+    pytest-asserted at value level, tests/test_approx.py).
     """
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02)
-            .alias("approx_customers"),
-            F.count_distinct("o_custkey").alias("exact_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 10_000)
-            .alias("approx_median_price"),
-            F.percentile("o_totalprice", F.lit(0.5)).alias("exact_median_price"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx_c"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("__approx_m"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("__exact_m"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority", "exact_customers",
+        (F.abs(C("__approx_c") - C("exact_customers"))
+         / C("exact_customers") <= _HLL_EPS).alias("hll_within_eps"),
+        (F.abs(C("__approx_m") - C("__exact_m"))
+         / C("__exact_m") <= _MEDIAN_EPS).alias("median_within_eps"),
+        "n_orders",
     )
 
 
-@op("ext_hll_rollup")  # rows-only: sketch bytes are engine-specific
+@op("ext_hll_rollup", oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS BIGINT)
+               AS n_hourly_sketches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           TRUE AS merge_lossless,
+           TRUE AS within_eps
+    FROM events GROUP BY event_type
+""")
 def ext_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-(event_type, hour) HLL sketches of
     distinct users, merged upward to per-event_type totals WITHOUT
@@ -55,9 +93,14 @@ def ext_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes distinct-count dashboards O(sketch) instead of O(data) at
     100 TB.
 
-    Correctness invariant (pytest): the merged estimate equals the estimate
-    of a sketch built directly over the raw data (HLL union is lossless),
-    and is within the configured error of the exact distinct count.
+    Both invariants are now ORACLE-checked (not just pytest): the emitted
+    booleans assert (a) merge-losslessness — the union-merged estimate
+    equals the estimate of a sketch built directly over the raw rows, the
+    property that makes tiered rollups sound — and (b) the merged
+    estimate is within eps of the exact distinct count; DuckDB emits
+    literal TRUE plus the exact counts, so either violation fails the
+    driver hash. The exact-count branch exists only to *check* the
+    sketch; a production rollup ships the sketch branch alone.
     """
     from ..catalog import events_with_ts
 
@@ -66,13 +109,23 @@ def ext_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.date_trunc("hour", C("ts_us")).alias("hour"))
         .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
     )
-    return (
+    merged = (
         hourly.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .alias("merged_distinct_users"),
-            F.count(F.lit(1)).alias("n_hourly_sketches"),
-        )
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+             .alias("__merged"),
+             F.count(F.lit(1)).alias("n_hourly_sketches"))
+    )
+    direct = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+             .alias("__direct"),
+             F.count_distinct("user_id").alias("exact_distinct_users"))
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "n_hourly_sketches", "exact_distinct_users",
+        (C("__merged") == C("__direct")).alias("merge_lossless"),
+        (F.abs(C("__merged") - C("exact_distinct_users"))
+         / C("exact_distinct_users") <= _HLL_EPS).alias("within_eps"),
     )
 
 

@@ -549,6 +549,94 @@ def ext_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def _snapshot_expire_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Separate table from _snapshot_fixture (maintenance MUTATES history;
+    the versions/diff ops need theirs intact): same append → append →
+    overwrite history, plus a planted ORPHAN data file simulating a
+    crashed commit (written, never published in any manifest)."""
+    import duckdb
+
+    from ..catalog import table_path
+    from ..sources.snapshots import commit_snapshot
+    from .reference_ops import _lake_fp, _materialize_once, _sf_scratch
+
+    table = _sf_scratch(sf_dir, "snap_expire_table")
+
+    def build() -> None:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        lake = table_path(sf_dir, "events")
+        con = duckdb.connect()
+        mx = con.execute(
+            f"SELECT MAX(event_id) FROM read_parquet('{lake}')").fetchone()[0]
+        t1, t2 = mx // 3, 2 * mx // 3
+        ev = load_table(spark, sf_dir, "events")
+        commit_snapshot(ev.filter(C("event_id") < t1), table, "append")
+        commit_snapshot(
+            ev.filter((C("event_id") >= t1) & (C("event_id") < t2)),
+            table, "append")
+        commit_snapshot(ev.filter(C("event_id") >= t2), table, "overwrite")
+        with open(os.path.join(table, "data",
+                               "crashed-commit-orphan.parquet"), "wb") as f:
+            f.write(b"\x00" * 64)  # unpublished: invisible to every reader
+        os.makedirs(table, exist_ok=True)
+        open(os.path.join(table, "_SUCCESS"), "w").close()
+
+    _materialize_once(table, build, _lake_fp(sf_dir, "events"))
+    return table
+
+
+@op("ext_snapshot_expire", oracle="""
+    WITH b AS (SELECT 2 * MAX(event_id) // 3 AS t2 FROM events)
+    SELECT CAST(4 AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value,
+           CAST(1 AS BIGINT) AS versions_remaining,
+           TRUE AS storage_matches_manifest
+    FROM events, b WHERE event_id >= b.t2
+""")
+def ext_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lake MAINTENANCE end-to-end (sources/snapshots.py): over
+    an append → append → overwrite history with a planted crashed-commit
+    orphan file, run rewrite_data_files-style compaction (current
+    snapshot → 1 file, committed as v4) then expire_snapshots(keep=1) —
+    deleting v1–v3's manifests first, then GC'ing every data file no
+    surviving manifest references, orphan included. The op reads the
+    surviving snapshot AFTER maintenance and emits its aggregate plus
+    the storage invariants; the oracle recomputes the aggregate from the
+    event_id thirds and asserts the invariants as literal TRUE/1 — so
+    hash parity proves GC deleted precisely the dead files (data loss
+    → aggregate mismatch; missed files/orphan → storage_matches_manifest
+    false). Both phases are manifest-sized driver work; nothing scans
+    data. Idempotent per lake generation: maintenance only runs while
+    the table is at v3."""
+    from ..sources.snapshots import (
+        compact_snapshot, expire_snapshots, read_snapshot,
+        snapshot_versions, _read_manifest,
+    )
+
+    table = _snapshot_expire_fixture(spark, sf_dir)
+    if snapshot_versions(table)[-1] == 3:
+        compact_snapshot(spark, table, target_files=1)
+        expire_snapshots(table, keep_last=1)
+    versions = snapshot_versions(table)
+    manifest_files = set(_read_manifest(table, versions[-1])["files"])
+    on_disk = {os.path.join("data", f)
+               for f in os.listdir(os.path.join(table, "data"))}
+    return (read_snapshot(spark, table)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
+                  .cast("double") / 100.0).alias("sum_value"))
+            .select(F.lit(versions[-1]).cast("int").alias("version"),
+                    "n_rows", "sum_value",
+                    F.lit(len(versions)).cast("bigint")
+                    .alias("versions_remaining"),
+                    F.lit(on_disk == manifest_files)
+                    .alias("storage_matches_manifest")))
+
+
 @op("ext_time_travel_diff", oracle="""
     WITH b AS (SELECT MAX(event_id) // 3 AS t1,
                       2 * MAX(event_id) // 3 AS t2 FROM events),

@@ -433,6 +433,128 @@ def ext_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a_id", "b_id")
 
 
+_SIMHASH_MD5_BITS = 60       # 15 hex digits of md5 → fits signed 64 both engines
+_SIMHASH_MD5_BANDS = 4       # 4×15-bit bands ⇒ recall guaranteed for Hamming ≤ 3
+_SIMHASH_MD5_BAND_BITS = _SIMHASH_MD5_BITS // _SIMHASH_MD5_BANDS
+
+
+def simhash_md5_band_table(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """``(id, sh)`` SimHash band table over an md5-derived 60-bit token
+    hash — the AUDITABLE twin of simhash_band_table: both engines md5 the
+    identical token strings, so fingerprints, band keys, candidates and
+    Hamming distances are cross-engine exact. Same plan as the xxhash64
+    path: 60 plain SUM vote aggregates over exploded tokens (codegen,
+    map-side partial sums, one ≈1-row/doc shuffle)."""
+    toks = normalized_tokens(C(text_col))
+    ex = df.select(C(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = F.conv(F.substring(F.md5(C("t")), 1, 15), 16, 10).cast("bigint")
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(_SIMHASH_MD5_BITS)
+    ]
+    v = ex.groupBy("id").agg(*votes)
+    band_cols = []
+    for b in range(_SIMHASH_MD5_BANDS):
+        acc = F.lit(0).cast("bigint")
+        for j in range(_SIMHASH_MD5_BAND_BITS):
+            acc = acc + F.when(C(f"v{b * _SIMHASH_MD5_BAND_BITS + j}") > 0,
+                               F.lit(1 << j).cast("bigint")) \
+                         .otherwise(F.lit(0).cast("bigint"))
+        band_cols.append(acc.alias(f"bh{b}"))
+    return v.select("id", F.array(*band_cols).alias("sh"))
+
+
+def simhash_candidates_md5(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """simhash_candidates with the md5 hash family: band-bucket self-join
+    (pigeonhole recall for Hamming ≤ 3 over 4×15-bit bands), exact
+    Hamming verify on survivors only — no all-pairs anywhere."""
+    sh = simhash_md5_band_table(df, id_col, text_col)
+    bands = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), C("sh").getItem(b).alias("bh"))
+            for b in range(_SIMHASH_MD5_BANDS)
+        ])).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+    a = bands.select(C("id").alias("a_id"), C("sh").alias("a_sh"), "band", "bh")
+    b = bands.select(C("id").alias("b_id"), C("sh").alias("b_sh"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(C("a_id") < C("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming_bands(C("a_sh"), C("b_sh"))
+                    .cast("bigint"))
+        .filter(C("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+_SIMHASH_TOK_SQL = r"""
+        SELECT doc_id AS id,
+               UNNEST(string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\s+')) AS t
+        FROM documents
+        WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+"""
+
+_SIMHASH_MD5_HAMMING = " + ".join(
+    f"bit_count(xor(sa.sh[{b + 1}], sb.sh[{b + 1}]))"
+    for b in range(_SIMHASH_MD5_BANDS))
+
+
+@op("ext_dedup_simhash_md5", oracle=f"""
+    WITH tok AS ({_SIMHASH_TOK_SQL}),
+    h AS (
+        SELECT id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT id, b.i AS bit,
+               SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, UNNEST(range({_SIMHASH_MD5_BITS})) AS b(i)
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT id, bit // {_SIMHASH_MD5_BAND_BITS} AS band,
+               SUM(CASE WHEN v > 0
+                        THEN (CAST(1 AS BIGINT)
+                              << (bit % {_SIMHASH_MD5_BAND_BITS}))
+                        ELSE 0 END) AS bh
+        FROM votes GROUP BY 1, 2
+    ),
+    sh AS (SELECT id, list(bh ORDER BY band) AS sh FROM bands GROUP BY id),
+    cand AS (
+        SELECT a.id AS a_id, b.id AS b_id
+        FROM bands a JOIN bands b USING (band, bh)
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT c.a_id, c.b_id,
+           CAST({_SIMHASH_MD5_HAMMING} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sh sa ON sa.id = c.a_id
+    JOIN sh sb ON sb.id = c.b_id
+    WHERE {_SIMHASH_MD5_HAMMING} <= 3
+""")
+def ext_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash construction, hash-green end-to-end (the second
+    fuzzy-dedup family's md5-family twin, mirroring ext_dedup_minhash_md5):
+    tokens → 60-bit md5 hash → per-bit ±1 votes → 4×15-bit band
+    fingerprint → band-bucket self-join candidates → exact Hamming verify
+    (≤ 3). DuckDB replays every stage with the identical md5 family, so
+    the oracle pins candidate GENERATION — which pairs share a band —
+    and the verified Hamming distances, not just plausible output. The
+    production op (ext_dedup_simhash) keeps JVM xxhash64 for cheaper
+    fingerprints; the plans are identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates_md5(docs, "doc_id", "text", max_hamming=3) \
+        .orderBy("a_id", "b_id")
+
+
 INC_FUZZY_ORACLE = f"""
     WITH tok AS ({_GRAMS_SQL}),
     mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),

@@ -275,6 +275,23 @@ def ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic directly on the text: dst(r,c) = src(2r,2c) → char position
 # (16r+2c) mod length. Hash parity therefore proves ACTUAL PIXEL VALUES
 # survived the full codec round-trip, not just sizes.
+def _ascii_bytes(t: str | None, doc_id) -> bytes:
+    """Text → pixel/sample source bytes for the synthetic-media kernels.
+
+    The kernels index BYTES (raw[i % len]) while their DuckDB oracles
+    index CHARS (substring/ascii) — identical only for non-empty ASCII
+    text. That held silently on the fixtures; make it LOUD: non-ASCII or
+    empty text raises here instead of diverging kernel vs oracle (and
+    `% length(text)` on empty text is NULL/error DuckDB-side anyway)."""
+    if not t or not t.isascii():
+        raise ValueError(
+            f"synthetic-media fixture requires non-empty ASCII text "
+            f"(doc {doc_id}: {'empty' if not t else 'non-ASCII'}); the "
+            f"byte-indexed kernels and char-indexed oracles diverge "
+            f"otherwise")
+    return t.encode("ascii")
+
+
 _SRC_W = 8
 _DST_W = 4
 _PNG_POS = [(2 * r) * _SRC_W + 2 * c
@@ -300,7 +317,7 @@ def make_png_assets(spark: SparkSession, sf_dir: str,
         for pdf in batches:
             rows = []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
-                raw = (t or " ").encode("utf-8")
+                raw = _ascii_bytes(t, d)
                 px = bytes(raw[i % len(raw)] for i in range(n))
                 rows.append((int(d), encode_png(px, side, side, 1)))
             yield pd.DataFrame(rows, columns=["asset_id", "media"])
@@ -399,7 +416,7 @@ def ext_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
-                raw = (t or " ").encode("utf-8")
+                raw = _ascii_bytes(t, d)
                 samples = [(raw[i % len(raw)] - 128) * 256
                            for i in range(_WAV_N)]
                 rate, ch, got = decode_wav(encode_wav(samples, _WAV_RATE))
@@ -448,7 +465,7 @@ def make_png_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
-                raw = (t or " ").encode("utf-8")
+                raw = _ascii_bytes(t, d)
                 stream = b"".join(
                     encode_png(bytes(raw[(i + _VID_SHIFT * f) % len(raw)]
                                      for i in range(n)),

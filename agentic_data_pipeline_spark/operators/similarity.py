@@ -703,7 +703,23 @@ def ext_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_topk_batch(emb, qs, k=5)
 
 
-def semdedup(emb: DataFrame, k_clusters: int = 8, threshold: float = 0.8,
+# Within-cluster pair work is quadratic in cluster size, so k must GROW
+# with the corpus to keep per-cluster rows (and therefore total pair count
+# ≈ n · TARGET) constant — the paper's setting. 64 rows/cluster keeps the
+# sf0.01 fixture at the historically-verified k=8 (500 // 64 = 7 → floor 8)
+# while sf0.1 gets k=78 and a 60M-vector tier k≈1M. Probed at 100× in
+# scripts/probe_semdedup_scale.py (BASELINE.md).
+SEMDEDUP_TARGET_CLUSTER_ROWS = 64
+
+
+def semdedup_k_for(n_vectors: int,
+                   target: int = SEMDEDUP_TARGET_CLUSTER_ROWS) -> int:
+    """Corpus-derived cluster count: k ≈ n/target, floored at 8."""
+    return max(8, n_vectors // target)
+
+
+def semdedup(emb: DataFrame, k_clusters: int | None = None,
+             threshold: float = 0.8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023): k-means
     clusters block the pair space, pairwise cosine within each cluster
@@ -719,15 +735,19 @@ def semdedup(emb: DataFrame, k_clusters: int = 8, threshold: float = 0.8,
 
     Scale shape: k-means is per-iteration map + k-row reduce (model
     broadcasts); assignment is one map pass; the pair join shuffles ONCE
-    on cluster id and is quadratic only within a cluster — at 100 TB you
-    raise k so clusters stay ~N/k bounded (the paper's setting), which
-    keeps the per-cluster work constant as the corpus grows.
+    on cluster id and is quadratic only within a cluster. ``k_clusters``
+    defaults to the corpus-derived ``semdedup_k_for(count)`` (~N/64,
+    the paper's constant-cluster-size setting), which keeps per-cluster
+    work flat as the corpus grows — the one count() job it costs is a
+    column-pruned scan, negligible next to the k-means fit.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from ..functions.vector import dot, l2_norm
 
+    if k_clusters is None:
+        k_clusters = semdedup_k_for(emb.select(id_col).count())
     feats = emb.withColumn(
         "__features", array_to_vector(C(vec_col).cast("array<double>")))
     model = KMeans(k=k_clusters, seed=42, maxIter=10,
@@ -758,7 +778,11 @@ def semdedup(emb: DataFrame, k_clusters: int = 8, threshold: float = 0.8,
                      # set from the op's own assignments with numpy
 def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup over the embeddings table (see semdedup): per-vector
-    (vec_id, cluster_id, kept) decisions, k=8, cosine threshold 0.35.
+    (vec_id, cluster_id, kept) decisions, cosine threshold 0.35, k derived
+    from the corpus (semdedup_k_for: ~N/64, floored at 8 — so the sf0.01
+    driver tier still runs the historically-verified k=8 while bigger
+    tiers scale k to hold within-cluster quadratic work flat; this is
+    what lets the SAME registered op bench at sf1 and beyond).
 
     Threshold calibration: the fixture's hash-derived 64-d embeddings are
     near-orthogonal (max pairwise cosine ~0.48, 99.9th pct ~0.38), so the
@@ -766,7 +790,7 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's top-0.1% tail — the same relative operating point. The
     threshold is a knob on semdedup(); the plan is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, k_clusters=8, threshold=0.35)
+    return semdedup(emb, threshold=0.35)
 
 
 _KNN_GRAPH_ORACLE = f"""

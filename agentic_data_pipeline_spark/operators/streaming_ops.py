@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import table_path
 from ..registry import op
+
+C = F.col
 from ..streaming.windows import run_stream_to_table
 from .sessionize import SESSIONIZE_ORACLE as _SESSIONIZE_ORACLE
 from .dedup import INC_FUZZY_ORACLE as _INC_FUZZY_ORACLE
@@ -177,6 +179,93 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _as_stream_dir(table_path(sf_dir, "events")))
     run_to_memory(sdf, table, output_mode="append")
     return spark.table(table)
+
+
+def _wm_flush_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events fixture + a far-future WATERMARK-FLUSH SENTINEL file: one
+    'error' and one 'click' row at max(ts) + 12 h with user_id = −1.
+    Outer-join null rows only materialize on state eviction, so a bounded
+    replay needs the watermark pushed past every real row; the sentinel
+    does that on BOTH filtered sides, and Spark's terminal no-data
+    micro-batch then flushes the withheld rows before availableNow
+    terminates. (An unbounded production stream needs none of this — its
+    own advancing watermark flushes continuously.) Lake-fingerprinted
+    like the other stream fixtures."""
+    import shutil
+
+    from ..catalog import load_table
+    from .reference_ops import _lake_fp, _materialize_once, _sf_scratch
+
+    path = _sf_scratch(sf_dir, "stream_wm_flush", "events")
+
+    def build() -> None:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path)
+        src = table_path(sf_dir, "events")
+        os.symlink(src, os.path.join(path, "part-0.parquet"))
+        ev = load_table(spark, sf_dir, "events")
+        is_long = dict(ev.dtypes)["ts"] in ("bigint", "long")
+        delta = (F.lit(12 * 3600 * 1_000_000_000) if is_long
+                 else F.expr("INTERVAL 12 HOURS"))
+        base = ev.agg(F.max("ts").alias("__mxts"),
+                      F.max("event_id").alias("__mxid"))
+        sent = None
+        for i, etype in enumerate(("error", "click")):
+            row = base.select(
+                (C("__mxid") + 1 + i).alias("event_id"),
+                (C("__mxts") + delta).alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast(dict(ev.dtypes)["props"]).alias("props"),
+            ).select(*[C(c).cast(dict(ev.dtypes)[c]) for c in ev.columns])
+            sent = row if sent is None else sent.unionByName(row)
+        tmp = path + "_senttmp"
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(path, "zz-wm-sentinel.parquet"))
+        shutil.rmtree(tmp)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    _materialize_once(path, build, _lake_fp(sf_dir, "events"))
+    return path
+
+
+@op("stream_stream_join_outer", oracle="""
+    SELECT e1.event_id AS err_id,
+           e2.event_id AS click_id,
+           e1.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e1
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+     AND e2.ts <= e1.ts
+""")
+def stream_stream_join_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream interval join — the
+    production enrich-with-misses shape stream_stream_join lacks: every
+    error emits, paired with same-user clicks in the preceding hour or
+    with NULL click columns once the watermark proves no match can
+    arrive. Null emission rides state eviction, so the replay plants a
+    far-future sentinel (see _wm_flush_stream_dir) to advance the
+    watermark past all real rows; the result then hash-equals the batch
+    LEFT JOIN oracle — including exactly which errors went unmatched."""
+    from ..streaming.windows import run_to_memory, stream_interval_join
+
+    table = f"stream_ssjo_{uuid.uuid4().hex[:8]}"
+    sdf = stream_interval_join(
+        spark, _wm_flush_stream_dir(spark, sf_dir), how="left_outer")
+    # The sentinel filter MUST sit after the sink, batch-side: inside the
+    # streaming query Catalyst propagates `user_id != -1` through the
+    # equi-join keys into BOTH parquet scans (constraint propagation +
+    # pushdown), which would drop the sentinel rows BEFORE the watermark
+    # nodes — the watermark then never advances past the real data and
+    # the trailing unmatched errors stay withheld in state (observed: 9
+    # rows short at sf0.01).
+    run_to_memory(sdf, table, output_mode="append")
+    return spark.table(table).filter(C("user_id") != -1)
 
 
 @op("stream_to_bronze", oracle="""

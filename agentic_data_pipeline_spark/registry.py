@@ -56,17 +56,27 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # locally pytest-verified either way). Maintained by hand each round from
 # CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-4 frontier: the ONLY 6 registered ops with no accumulated
-    # CORRECTNESS_r01/r02/r03 row (added late in r3; the ~50-op driver
-    # budget cut them at positions 51-56). All 6 pass parity_sweep at
-    # sf0.01 and were judge-replayed clean; they lead so one round closes
-    # the surface at 154/154.
+    # --- round-6 frontier: the 11 ops added in r5 after the driver's
+    # ~50-op budget was spent (r5 checked positions 1-50 of the r5
+    # ordering; these were at 51+). All pass parity_sweep at sf0.01 and
+    # were judge-replayed clean in the r5 verdict; they lead so r6
+    # closes accumulated driver coverage at 193/193.
+    "ext_resize_png", "ext_audio_features", "ext_video_frames",
+    "ext_bm25_search", "ext_hybrid_search", "ext_dedup_minhash_md5",
+    "ext_dedup_incremental_fuzzy", "stream_dedup_fuzzy",
+    "ext_embed_word2vec", "ext_snapshot_versions", "ext_time_travel_diff",
+    # --- changed/new in r6: semdedup's k is now corpus-derived (was
+    # pinned to the sf0.01 fixture), the approximate family gained
+    # bound-checked oracles, and the snapshot/streaming surfaces grew.
+    "ext_semdedup", "ext_dedup_simhash_md5", "q_approx_agg",
+    "ext_hll_rollup", "ext_snapshot_expire", "stream_stream_join_outer",
+    # --- r4/r5 frontier, driver-evidenced green in r5; stays high so a
+    # larger driver budget re-evidences the newest code paths first.
     "ext_skew_report", "ext_gopher_filters", "ext_lm_perplexity",
     "ext_lm_score_holdout", "ext_bpe_merges", "ext_dedup_minhash_clusters",
-    # --- new in r4 (never driver-checked)
     "ext_dedup_clusters_bounded",
     "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
-    "ext_bpe_encode", "ext_semdedup", "ext_knn_graph",
+    "ext_bpe_encode", "ext_knn_graph",
     "ext_dedup_containment", "stream_upsert", "ext_pagerank",
     "q_intersect_all", "q_except_all", "q_window_dist", "ext_data_profile",
     "ext_bucketed_join", "ext_histogram_rollup", "ext_sample_fixed_n",
@@ -75,9 +85,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_training_prep_pipeline", "ingest_json_multiline",
     "ext_temperature_sample", "ext_upsample_repeat",
     "ingest_schema_evolution",
-    # --- values changed in r4 (floor-truncation hardening of displayed
-    # int-ratios): re-evidence under this round's driver budget even
-    # though earlier rounds recorded green rows for the old values.
     "ext_text_stats", "ext_quality_score", "ext_repetition",
     "ext_group_topk", "ext_dedup_ngram", "ext_rare_bigrams",
     "q_window_agg",

@@ -89,6 +89,66 @@ def commit_snapshot(df: DataFrame, table_dir: str,
     return version
 
 
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots and reclaim
+    storage — Iceberg's ``expire_snapshots`` over this manifest model.
+
+    Two phases, ordered for crash safety:
+    1. DELETE the expired manifests first. After this, no manifest on
+       disk references a file the next phase might remove, so a crash at
+       any point leaves every remaining snapshot fully readable.
+    2. GC data files referenced by NO surviving manifest — which also
+       sweeps orphans from crashed commits (files written but never
+       published; commit_snapshot writes its manifest LAST). A crash
+       mid-phase-2 leaves some unreferenced files on disk: invisible to
+       readers (they resolve manifests, never directory listings) and
+       reclaimed by the next expire.
+
+    At 100 TB both phases are manifest-sized driver work plus bulk
+    deletes; nothing scans data. Returns accounting: versions expired /
+    kept, files deleted (incl. orphans), bytes reclaimed.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(table_dir)
+    expired = versions[:-keep_last]
+    kept = versions[-keep_last:]
+    for v in expired:  # phase 1: manifests first
+        os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
+    live = {f for v in kept for f in _read_manifest(table_dir, v)["files"]}
+    data_dir = os.path.join(table_dir, "data")
+    deleted, reclaimed = 0, 0
+    if os.path.isdir(data_dir):
+        for f in sorted(os.listdir(data_dir)):  # phase 2: GC + orphans
+            rel = os.path.join("data", f)
+            if rel not in live:
+                p = os.path.join(data_dir, f)
+                reclaimed += os.path.getsize(p)
+                os.remove(p)
+                deleted += 1
+    return {"expired_versions": expired, "kept_versions": kept,
+            "files_deleted": deleted, "bytes_reclaimed": reclaimed}
+
+
+def compact_snapshot(spark: SparkSession, table_dir: str,
+                     target_files: int = 1) -> int:
+    """Rewrite the CURRENT snapshot's many small files into
+    ``target_files`` — Iceberg's ``rewrite_data_files``. Reads the live
+    snapshot, coalesces, and commits the result as a NEW overwrite
+    snapshot: the same rows under fewer files. Readers of any existing
+    version are untouched (their manifests still reference the old
+    files); the old files become reclaimable once those versions expire.
+    Returns the new version number.
+
+    At scale this is the compaction half of lake maintenance (expire is
+    the other): small-file pressure comes from streaming/incremental
+    appends, and the fix is an ordinary distributed rewrite committed
+    atomically — never an in-place mutation.
+    """
+    df = read_snapshot(spark, table_dir).coalesce(target_files)
+    return commit_snapshot(df, table_dir, mode="overwrite")
+
+
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None) -> DataFrame:
     """Read one snapshot (default: latest) — time travel is just passing

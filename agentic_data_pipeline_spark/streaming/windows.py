@@ -146,7 +146,8 @@ def stream_static_enrich(spark: SparkSession, input_dir: str,
 
 def stream_interval_join(spark: SparkSession, input_dir: str,
                          lookback: str = "INTERVAL 1 HOUR",
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream interval join: each 'error' event paired with the same
     user's 'click' events in the preceding hour.
 
@@ -158,6 +159,17 @@ def stream_interval_join(spark: SparkSession, input_dir: str,
     the one non-negotiable requirement for a stream-stream join at
     100 TB/day. A single availableNow pass buffers-then-joins everything,
     so the result equals the batch interval join and shares its oracle.
+
+    ``how="left_outer"`` is the production enrich-with-misses shape:
+    errors with NO same-user click in the window still emit, click
+    columns null. Outer rows materialize only on state EVICTION — the
+    engine can't know "no match will come" until the watermark passes
+    err_ts + lookback — so a bounded replay must push the watermark past
+    the last real row to flush them (the registered op plants a far-
+    future sentinel row for exactly this; Spark's terminal no-data
+    micro-batch then emits the withheld rows before availableNow stops).
+    On an unbounded production stream the advancing watermark does this
+    continuously and no sentinel is needed.
     """
     tune(spark)
 
@@ -178,7 +190,7 @@ def stream_interval_join(spark: SparkSession, input_dir: str,
             (F.col("err_user") == F.col("click_user"))
             & (F.col("click_ts") >= F.col("err_ts") - F.expr(lookback))
             & (F.col("click_ts") <= F.col("err_ts")),
-            "inner")
+            how)
         .select("err_id", "click_id", F.col("err_user").alias("user_id"))
     )
 

@@ -192,6 +192,20 @@ def main() -> None:
     artifact["value"] = rec["value"] if rec else total
     artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"]
                                    if rec else ratio)
+    # Provenance, embedded in the artifact itself (not just this
+    # docstring): `value`/`ratio_of_record` are the median-ratio RECORDED
+    # invocation over the same-SF same-set history — a number some real
+    # invocation measured, which may not be THIS one. This invocation's
+    # own measurements are value_live/ratio_live/queries/runs_sec.
+    artifact["of_record_provenance"] = {
+        "source": "BENCH_HISTORY.jsonl upper-median-ratio invocation "
+                  "(same sf + set_version, incl. this run)",
+        "invocation_unix": (rec or {}).get("invocation_unix",
+                                           artifact["invocation_unix"]),
+        "is_this_invocation": (rec is None or rec.get("invocation_unix")
+                               == round(bench_start, 1)),
+        "live_keys": ["value_live", "ratio_live", "queries", "runs_sec"],
+    }
     print(json.dumps(artifact))
 
 
@@ -224,13 +238,14 @@ def _record_history(artifact: dict) -> dict | None:
         by_ratio = sorted(same, key=lambda e: e["spark_over_duckdb_ratio"])
         ratios = [e["spark_over_duckdb_ratio"] for e in by_ratio]
         mid = len(ratios) // 2
-        median = (ratios[mid] if len(ratios) % 2
-                  else round((ratios[mid - 1] + ratios[mid]) / 2, 3))
+        # Median = the UPPER-median invocation for even counts too (never
+        # an averaged value no invocation measured), so ratio_median and
+        # median_invocation always agree — one real recorded run is the
+        # number of record.
         return {
             "n_invocations": len(ratios),
-            "ratio_median": median,
+            "ratio_median": ratios[mid],
             "ratio_band": [ratios[0], ratios[-1]],
-            # upper median: a real recorded invocation at/above the median
             "median_invocation": by_ratio[mid],
             "min_load_invocation": min(same,
                                        key=lambda e: e["load_avg"][0]),

@@ -52,15 +52,11 @@ KEYS = {
 # set's ratio drop out of the scheduling floor at 10x the data?
 from bench import CLASSIC, HEADLINE as _V2, REBUILD  # noqa: E402
 
-# ext_semdedup is excluded at this tier (recorded in the JSON, not
-# silent): its within-cluster pair space is quadratic and the op pins the
-# fixture's k=8 — at 10x the corpus the documented operating rule is to
-# raise k with N, so timing the fixture configuration here would measure
-# a misconfiguration, and as a rows-only op it contributes nothing to the
-# twin ratio either way.
-SKIPPED = {"ext_semdedup": "k-means block count must scale with corpus "
-                           "(op pins fixture k=8); rows-only, no ratio "
-                           "contribution"}
+# Since r6 ext_semdedup derives k from the corpus (semdedup_k_for:
+# ~N/64), so the r5 exclusion is gone: the op runs at this tier with
+# within-cluster pair work held flat by construction. Rows-only op, so it
+# contributes a timing but no twin-ratio term.
+SKIPPED: dict[str, str] = {}
 HEADLINE = [n for n in _V2 if n not in SKIPPED]
 
 
@@ -147,7 +143,7 @@ def main() -> None:
     s, d = sum(timings[n] for n in cov), sum(duck[n] for n in cov)
     ccov = [n for n in CLASSIC if n in duck]
     cs, cd = sum(timings[n] for n in ccov), sum(duck[n] for n in ccov)
-    print(json.dumps({
+    artifact = {
         "metric": "sf1_headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec", "sf": 1.0, "replicas_of_sf0.1": REPLICAS,
@@ -157,8 +153,21 @@ def main() -> None:
         "spark_over_duckdb_ratio": round(s / d, 3) if d else None,
         "classic15_ratio": round(cs / cd, 3) if cd else None,
         "skipped": SKIPPED,
+        "invocation_unix": round(time.time(), 1),
         "load_avg": [round(x, 2) for x in os.getloadavg()],
-    }))
+    }
+    # Same-file history as bench.py (entries distinguished by sf=1.0):
+    # the paired ratio is load-controlled per invocation; the median over
+    # recorded sf1 invocations is the tier's number of record.
+    from bench import _record_history
+    hist_artifact = dict(artifact,
+                         value_live=artifact["value"],
+                         duckdb_twin_total_sec=round(sum(duck.values()), 3))
+    artifact["history_same_sf"] = _record_history(hist_artifact)
+    rec = (artifact["history_same_sf"] or {}).get("median_invocation")
+    artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"] if rec
+                                   else artifact["spark_over_duckdb_ratio"])
+    print(json.dumps(artifact))
 
 
 if __name__ == "__main__":

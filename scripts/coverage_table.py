@@ -70,7 +70,8 @@ SECTIONS = [
         "ext_entropy", "ext_pmi_bigrams", "ext_rare_bigrams", "q_histogram",
         "ext_skew_report", "ext_bpe_merges", "ext_gopher_filters",
         "ext_dedup_minhash_clusters", "ext_dedup_clusters_bounded",
-        "ext_dedup_minhash_md5", "ext_dedup_incremental_fuzzy",
+        "ext_dedup_minhash_md5", "ext_dedup_simhash_md5",
+        "ext_dedup_incremental_fuzzy",
         "ext_lm_perplexity", "ext_lm_score_holdout",
         "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
         "ext_bm25_search", "ext_hybrid_search",
@@ -80,6 +81,7 @@ SECTIONS = [
         "ext_embed_word2vec",
         "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
         "ext_snapshot_versions", "ext_time_travel_diff",
+        "ext_snapshot_expire",
         "ext_training_prep_pipeline", "ext_temperature_sample",
         "ext_upsample_repeat",
     ]),
@@ -89,6 +91,7 @@ SECTIONS = [
     ("Streaming plane", ["stream_tumble", "stream_sliding", "stream_dedup",
                          "stream_dedup_watermark",
                          "stream_join", "stream_stream_join",
+                         "stream_stream_join_outer",
                          "stream_sessionize", "stream_to_bronze",
                          "stream_upsert", "stream_dedup_fuzzy"]),
 ]

@@ -103,6 +103,13 @@ def test_split_png_stream_framing():
     assert split_png_stream(b"not a png") == []
     # exact pixels survive the stream round-trip
     assert decode_png(frames[1])[3] == bytes(range(16, 32))
+    # truncated trailing frame (IEND never reached) is DROPPED, not
+    # emitted as a garbage blob for downstream decode to choke on
+    assert split_png_stream(a + b[:-6]) == [a]
+    # corrupt chunk length striding past the end: dropped, no exception
+    bad = bytearray(a)
+    bad[8:12] = (0xFFFFFF).to_bytes(4, "big")
+    assert split_png_stream(bytes(bad)) == []
 
 
 def test_sample_png_frames_keeps_every_strideth(spark):

@@ -73,3 +73,106 @@ def test_manifest_contents_are_minimal_metadata(spark, table):
 def test_bad_mode_rejected(spark, table):
     with pytest.raises(ValueError):
         commit_snapshot(_df(spark, [1]), table, "merge")
+
+
+# ------------------------------------------------------- maintenance (r6)
+
+def _files(table):
+    return set(os.listdir(os.path.join(table, "data")))
+
+
+def test_expire_snapshots_reclaims_dead_files_and_orphans(spark, table):
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    commit_snapshot(_df(spark, [1, 2]), table, "append")
+    commit_snapshot(_df(spark, [3]), table, "append")
+    commit_snapshot(_df(spark, [9]), table, "overwrite")
+    # crashed-commit orphan: on disk, in no manifest
+    orphan = os.path.join(table, "data", "v9-crashed-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"\x00" * 16)
+    before = _files(table)
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["expired_versions"] == [1, 2]
+    assert stats["kept_versions"] == [3]
+    assert stats["files_deleted"] == len(before) - len(_files(table))
+    assert "v9-crashed-orphan.parquet" not in _files(table)
+    assert stats["bytes_reclaimed"] > 0
+    # survivor fully readable; history gone
+    assert snapshot_versions(table) == [3]
+    assert [r["id"] for r in read_snapshot(spark, table).collect()] == [9]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, 1)
+    # idempotent: a second expire is a no-op
+    again = expire_snapshots(table, keep_last=1)
+    assert again["files_deleted"] == 0 and again["expired_versions"] == []
+
+
+def test_expire_keeps_every_surviving_version_readable(spark, table):
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    commit_snapshot(_df(spark, [1]), table, "append")
+    commit_snapshot(_df(spark, [2]), table, "append")
+    commit_snapshot(_df(spark, [9]), table, "overwrite")
+    expire_snapshots(table, keep_last=2)
+    assert snapshot_versions(table) == [2, 3]
+    # v2 is an APPEND snapshot referencing v1's files: keeping it must
+    # keep those shared files alive even though v1's manifest is gone
+    assert sorted(r["id"] for r in
+                  read_snapshot(spark, table, 2).collect()) == [1, 2]
+    assert [r["id"] for r in read_snapshot(spark, table, 3).collect()] == [9]
+
+
+def test_expire_crash_between_phases_leaves_table_consistent(spark, table):
+    """Crash ordering: manifests are deleted BEFORE any data file — a
+    crash after phase 1 leaves unreferenced (invisible) files, never a
+    manifest pointing at a deleted file. Simulated by doing exactly what
+    phase 1 does, then 'crashing' (no GC), then recovering via expire."""
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    commit_snapshot(_df(spark, [1]), table, "append")
+    commit_snapshot(_df(spark, [9]), table, "overwrite")
+    os.remove(os.path.join(table, "_manifests", "v1.json"))  # phase-1 crash
+    assert snapshot_versions(table) == [2]
+    assert [r["id"] for r in read_snapshot(spark, table).collect()] == [9]
+    # recovery: the next expire sweeps what phase 2 never reclaimed
+    stats = expire_snapshots(table, keep_last=1)
+    assert stats["files_deleted"] > 0  # v1's now-unreferenced files
+    assert [r["id"] for r in read_snapshot(spark, table).collect()] == [9]
+
+
+def test_compact_snapshot_same_rows_fewer_files(spark, table):
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        compact_snapshot, expire_snapshots,
+    )
+
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+    commit_snapshot(df.repartition(8), table, "append")
+    v = compact_snapshot(spark, table, target_files=1)
+    assert v == 2
+    import json as _json
+    with open(os.path.join(table, "_manifests", "v2.json")) as f:
+        m = _json.load(f)
+    assert len(m["files"]) == 1
+    assert sorted(r["id"] for r in
+                  read_snapshot(spark, table).collect()) == list(range(100))
+    # old version untouched until expired
+    assert read_snapshot(spark, table, 1).count() == 100
+    expire_snapshots(table, keep_last=1)
+    assert _files(table) == {os.path.basename(m["files"][0])}
+
+
+def test_expire_keep_last_validated(spark, table):
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    commit_snapshot(_df(spark, [1]), table, "append")
+    with pytest.raises(ValueError):
+        expire_snapshots(table, keep_last=0)
