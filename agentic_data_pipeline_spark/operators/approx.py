@@ -161,3 +161,102 @@ def ext_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("cnt")))
     return (hourly.groupBy("event_type", "bucket")
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+
+# Quantile-rollup bucket geometry: width-2 equi-width buckets capped at
+# 255 cover the events.value range (0–490 in the fixtures) with ≤ one
+# bucket width of interpolation error; at median ≈ 34 that is ≲ 6%
+# relative, so the 0.10 bound below is loose-but-meaningful the same way
+# _HLL_EPS is.
+_QR_WIDTH = 2.0
+_QR_MAXB = 255
+_QR_EPS = 0.10
+
+
+@op("ext_quantile_rollup", oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS BIGINT)
+               AS n_hourly_histograms,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_median,
+           TRUE AS merge_lossless,
+           TRUE AS median_within_eps
+    FROM events GROUP BY event_type
+""")
+def ext_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered QUANTILE rollup: per-(event_type, hour) equi-width
+    histograms of `value`, integer-merged upward, median estimated from
+    the MERGED histogram by linear interpolation — the quantile cousin of
+    ext_hll_rollup and the structure behind latency/price percentile
+    dashboards at 100 TB, where an exact per-window percentile is a sort
+    per group but histogram merge is a sum.
+
+    Oracle-checked contracts, same design as the HLL rollup (estimates
+    are never hashed): (a) merge-losslessness — the hour-merged histogram
+    equals the histogram built directly over the raw rows, bucket by
+    bucket (integer counts, exact), which is what makes the tiered rollup
+    sound; (b) the interpolated median from the merged histogram is
+    within eps of the exact interpolated percentile. DuckDB emits the
+    exact median + literal TRUE booleans; either violation flips a
+    boolean and fails the driver hash.
+
+    Plan: one shuffle on (type, hour, bucket) with map-side partial agg,
+    then rollup-sized merges and a window over ≤256 buckets per type —
+    the events table is scanned twice only because the *check* needs the
+    exact twin; a production rollup ships the histogram branch alone.
+    """
+    from ..catalog import events_with_ts
+    from pyspark.sql import Window
+
+    ev = events_with_ts(spark, sf_dir)
+    bucket = F.least(F.floor(C("value") / _QR_WIDTH),
+                     F.lit(_QR_MAXB)).cast("int")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", C("ts_us")).alias("hour"),
+                         bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    merged = (hourly.groupBy("event_type", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    direct = (ev.groupBy("event_type", bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+    # (a) bucket-exact merge equality (full outer: a bucket missing on
+    # either side with nonzero count on the other is a violation).
+    lossless = (
+        merged.select("event_type", "bucket", C("cnt").alias("m_cnt"))
+        .join(direct.select("event_type", "bucket", C("cnt").alias("d_cnt")),
+              ["event_type", "bucket"], "full_outer")
+        .groupBy("event_type")
+        .agg(F.bool_and(F.coalesce(C("m_cnt"), F.lit(0))
+                        == F.coalesce(C("d_cnt"), F.lit(0)))
+             .alias("merge_lossless"))
+    )
+
+    # (b) interpolated median from the MERGED histogram: cumulative
+    # counts over ≤256 buckets per type, pick the bucket whose cumsum
+    # crosses n/2, interpolate within it.
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = merged.withColumn("cum", F.sum("cnt").over(w))
+    tot = merged.groupBy("event_type").agg((F.sum("cnt") / 2.0)
+                                           .alias("target"))
+    est = (
+        cum.join(tot, "event_type")
+        .filter((C("cum") >= C("target"))
+                & (C("cum") - C("cnt") < C("target")))
+        .select("event_type",
+                (C("bucket") * _QR_WIDTH
+                 + _QR_WIDTH * (C("target") - (C("cum") - C("cnt")))
+                 / C("cnt")).alias("est_median"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.date_trunc("hour", C("ts_us")))
+        .alias("n_hourly_histograms"),
+        F.percentile("value", F.lit(0.5)).alias("__exact"),
+    )
+    return (
+        exact.join(lossless, "event_type").join(est, "event_type")
+        .select("event_type", "n_hourly_histograms",
+                F.round(C("__exact"), 6).alias("exact_median"),
+                "merge_lossless",
+                (F.abs(C("est_median") - C("__exact")) / C("__exact")
+                 <= _QR_EPS).alias("median_within_eps"))
+    )

@@ -1025,3 +1025,93 @@ def ext_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(C("component_id").alias("survivor_id"),
                     "n_members",
                     (C("n_members") > 1).alias("is_dup_cluster")))
+
+
+# Exact-substring window geometry: 8-token windows (stride 1) are long
+# enough that a shared window across DISTINCT documents is near-certain
+# duplication (vocab^8 random-collision space), short enough to catch
+# sub-document copying that document-level Jaccard dilutes away. The
+# hot-bucket cap drops fingerprints shared by > 32 docs — boilerplate
+# (headers, licenses, navigation) that would otherwise make the bucket
+# self-join quadratic in the boilerplate's document frequency; Lee et
+# al.'s suffix-array dedup applies the same frequency cutoff.
+_SUB_W = 8
+_SUB_MAXB = 32
+
+
+@op("ext_dedup_substring", oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+') AS t
+        FROM documents
+        WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+    ),
+    win AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(t) - {_SUB_W} + 2),
+                       i -> md5(array_to_string(
+                                list_slice(t, i, i + {_SUB_W} - 1), ' '))))
+                       AS fp
+            FROM tok)
+    ),
+    ok AS (
+        SELECT fp FROM win GROUP BY fp
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= {_SUB_MAXB}
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM win a
+    JOIN win b ON b.fp = a.fp AND a.doc_id < b.doc_id
+    JOIN ok ON ok.fp = a.fp
+    GROUP BY 1, 2
+""")
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shared-substring detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): document pairs sharing
+    at least one verbatim 8-token window, with the count of distinct
+    shared windows — the dedup family member that catches verbatim
+    passage copying (quotes, mirrored sections, templated spans) which
+    document-level MinHash misses when the copied span is a small
+    fraction of both documents.
+
+    Suffix arrays are the single-machine construction; the distributed
+    equivalent is sliding-window fingerprinting: every stride-1 8-token
+    window is md5-hashed (cross-engine exact, same family as the minhash
+    md5 twin dedup.py:334), windows group on the fingerprint, and pairs
+    emerge from bucket self-joins — never an all-pairs comparison. The
+    hot-bucket cap (document frequency ≤ 32) bounds every bucket's
+    self-join at 32² rows, which is what keeps the op linear-ish at
+    100 TB where boilerplate fingerprints otherwise have million-doc
+    buckets; production pipelines then route capped-out fingerprints to
+    a boilerplate-stripping pass (the filter is part of the op's
+    semantics, and the oracle replays it identically).
+
+    Plan shape: explode (one row per window) → two shuffles on fp
+    (distinct + bucket count) → self-join on fp co-partitioned by the
+    same key → pair aggregation. Window rows ≈ corpus token count, so
+    the exchange is corpus-linear with map-side combines throughout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = normalized_tokens(C("text"))
+    n = F.size(t)
+    idx = F.when(n >= _SUB_W, F.sequence(F.lit(1), n - _SUB_W + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    win = (
+        docs.select(C("doc_id"), t.alias("t"), F.explode(idx).alias("i"))
+        .select("doc_id",
+                F.md5(F.concat_ws(" ", F.slice(C("t"), C("i"), _SUB_W)))
+                .alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    ok = (win.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+          .filter((C("df") >= 2) & (C("df") <= _SUB_MAXB))
+          .select("fp"))
+    a = win.select(C("doc_id").alias("a_id"), "fp")
+    b = win.select(C("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(ok, "fp").join(b, "fp")
+        .filter(C("a_id") < C("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+    )

@@ -1015,3 +1015,56 @@ def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10)
             .select("doc_id", "r_bm25", "r_vec",
                     (F.floor(C("__rrf") * 1e6) / 1e6).alias("rrf")))
+
+
+# Heavy-hitter threshold: fraction of total corpus tokens a token must
+# reach to be reported. 2% is the classic "phi-heavy-hitter" setting at
+# which Misra–Gries needs only 1/phi = 50 counters per partition.
+_HH_PHI = 0.02
+
+
+@op("ext_heavy_hitters", oracle=r"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+')) AS token
+        FROM documents
+        WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+    ),
+    cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n FROM cnt)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(cnt / n * 1e6) AS BIGINT) AS freq_ppm
+    FROM cnt, tot
+    WHERE cnt >= 0.02 * n
+""")
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy hitters over corpus tokens: every token whose global
+    frequency is ≥ phi of all tokens — vocabulary truncation, boilerplate
+    token discovery, and spam-token triage in crawl pipelines.
+
+    EXACT and fully oracle-checked: token counting is one shuffle on the
+    token key with map-side partial aggregation (the combiner bounds
+    per-partition state at vocabulary size, not corpus size), the total
+    is a scalar aggregate broadcast back (standard scalar-join shape),
+    and the phi filter runs post-aggregate. At 100 TB this plan already
+    holds: the shuffle carries one row per distinct token per partition,
+    not one per occurrence. The sketch alternative (Misra–Gries with
+    1/phi counters per partition, merged then re-verified) only becomes
+    necessary when the VOCABULARY itself outgrows executor memory —
+    BPE-token corpora cap it at vocab size, so exact is the right
+    default, and the sketch path would reuse this op as its verifier.
+    """
+    from .dedup import normalized_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(normalized_tokens(C("text"))).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("n"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(C("cnt") >= _HH_PHI * C("n"))
+        .select("token", C("cnt").cast("bigint").alias("cnt"),
+                F.floor(C("cnt") / C("n") * 1e6).cast("bigint")
+                .alias("freq_ppm"))
+    )

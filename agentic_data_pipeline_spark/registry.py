@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # bound-checked oracles, and the snapshot/streaming surfaces grew.
     "ext_semdedup", "ext_dedup_simhash_md5", "q_approx_agg",
     "ext_hll_rollup", "ext_snapshot_expire", "stream_stream_join_outer",
+    "ext_dedup_substring", "ext_heavy_hitters", "ext_quantile_rollup",
     # --- r4/r5 frontier, driver-evidenced green in r5; stays high so a
     # larger driver budget re-evidences the newest code paths first.
     "ext_skew_report", "ext_gopher_filters", "ext_lm_perplexity",

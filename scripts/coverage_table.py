@@ -71,7 +71,8 @@ SECTIONS = [
         "ext_skew_report", "ext_bpe_merges", "ext_gopher_filters",
         "ext_dedup_minhash_clusters", "ext_dedup_clusters_bounded",
         "ext_dedup_minhash_md5", "ext_dedup_simhash_md5",
-        "ext_dedup_incremental_fuzzy",
+        "ext_dedup_incremental_fuzzy", "ext_dedup_substring",
+        "ext_heavy_hitters",
         "ext_lm_perplexity", "ext_lm_score_holdout",
         "ext_quality_classifier", "ext_shard_assign", "ext_bpe_encode",
         "ext_bm25_search", "ext_hybrid_search",
@@ -87,6 +88,7 @@ SECTIONS = [
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",
+        "ext_quantile_rollup",
     ]),
     ("Streaming plane", ["stream_tumble", "stream_sliding", "stream_dedup",
                          "stream_dedup_watermark",

@@ -74,3 +74,40 @@ def test_hll_rollup_merge_is_lossless(spark):
     assert merged == direct                   # mergeability: bit-identical
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_quantile_rollup_merge_lossless_and_estimate_tight(spark):
+    """Booleans hold, AND the recomputed merged-histogram median sits
+    within one bucket width of the exact interpolated median — tighter
+    than the op's registered 10% relative bound."""
+    from agentic_data_pipeline_spark.catalog import events_with_ts
+    from agentic_data_pipeline_spark.operators.approx import (_QR_MAXB,
+                                                              _QR_WIDTH)
+
+    out = OPS["ext_quantile_rollup"].fn(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(r.merge_lossless for r in out), out
+    assert all(r.median_within_eps for r in out), out
+
+    ev = events_with_ts(spark, SF_SMOKE)
+    exact = {r.event_type: r.m for r in
+             ev.groupBy("event_type")
+             .agg(F.percentile("value", F.lit(0.5)).alias("m")).collect()}
+    # Recompute the merged-histogram estimate exactly as the op does and
+    # assert the one-bucket-width error bound that justifies _QR_EPS.
+    hist = (ev.groupBy("event_type",
+                       F.least(F.floor(F.col("value") / _QR_WIDTH),
+                               F.lit(_QR_MAXB)).cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    by_type: dict[str, dict[int, int]] = {}
+    for r in hist:
+        by_type.setdefault(r.event_type, {})[r.bucket] = r.cnt
+    for et, buckets in by_type.items():
+        n = sum(buckets.values())
+        target, cum = n / 2.0, 0
+        for b in sorted(buckets):
+            if cum + buckets[b] >= target:
+                est = b * _QR_WIDTH + _QR_WIDTH * (target - cum) / buckets[b]
+                break
+            cum += buckets[b]
+        assert abs(est - exact[et]) <= _QR_WIDTH, (et, est, exact[et])

@@ -295,3 +295,59 @@ def test_word2vec_train_vocab_and_determinism(spark, sf_dir):
     out2 = {r["word"]: r["l2"]
             for r in OPS["ext_word2vec_train"].fn(spark, sf_dir).collect()}
     assert out1 == out2
+
+
+def test_substring_dedup_finds_verbatim_spans_and_caps_hot_buckets(spark):
+    """Two docs sharing a verbatim 8-token span pair up with the right
+    shared-window count; a span present in MORE than _SUB_MAXB docs is
+    boilerplate and produces no pairs from its windows."""
+    from agentic_data_pipeline_spark.operators.dedup import (_SUB_MAXB,
+                                                             _SUB_W,
+                                                             ext_dedup_substring)
+
+    span = " ".join(f"w{i}" for i in range(_SUB_W + 2))  # 10 tokens
+    boiler = " ".join(f"b{i}" for i in range(_SUB_W))    # exactly 1 window
+    rows = [(1, f"alpha beta {span} gamma"),
+            (2, f"{span} delta epsilon zeta"),
+            (3, "unrelated text with no copied span at all here")]
+    rows += [(100 + i, f"{boiler} uniq{i}") for i in range(_SUB_MAXB + 1)]
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(os.path.join(d, "documents.parquet"))
+        out = {(r.a_id, r.b_id): r.n_shared_windows
+               for r in ext_dedup_substring(spark, d).collect()}
+    # 10-token shared span -> 3 distinct 8-token windows shared by (1,2).
+    assert out.get((1, 2)) == 3, out
+    # The boilerplate window appears in _SUB_MAXB+1 docs -> capped out;
+    # no pair involves two boilerplate docs.
+    assert all(not (a >= 100 and b >= 100) for a, b in out), out
+
+
+def test_heavy_hitters_threshold_semantics(spark):
+    """Every reported token's exact global frequency is >= phi; no
+    token at or above phi is missing (exactness, not sketch recall)."""
+    from collections import Counter
+
+    from agentic_data_pipeline_spark.operators.text import (_HH_PHI,
+                                                            ext_heavy_hitters)
+
+    from tests.conftest import SF_SMOKE
+
+    out = {r.token: (r.cnt, r.freq_ppm)
+           for r in ext_heavy_hitters(spark, SF_SMOKE).collect()}
+    assert out, "smoke corpus has no heavy hitters?"
+    import re
+    from agentic_data_pipeline_spark.catalog import load_table
+    texts = [r.text for r in
+             load_table(spark, SF_SMOKE, "documents").select("text").collect()]
+    counts = Counter(t for x in texts
+                     for t in re.sub(r"[^a-z0-9]+", " ", x.lower()).split()
+                     if t)
+    n = sum(counts.values())
+    expect = {t: c for t, c in counts.items() if c >= _HH_PHI * n}
+    assert set(out) == set(expect), (set(out) ^ set(expect))
+    for t, c in expect.items():
+        assert out[t][0] == c
+        assert out[t][1] == int(c / n * 1e6)
