@@ -443,8 +443,7 @@ def ivf_search(assigned: DataFrame, model, query_vec: list[float],
     return vector_search(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
-@op("ext_ann_ivf")  # rows-only: approximate + iterative KMeans training
-def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: approx top-5 neighbors of vector #0 (6 of 16 cells probed
     → ~2.7× scan reduction; recall pytest-checked). The fixture vectors are
     near-random (weak neighbor structure), so recall/nprobe is the honest
@@ -454,6 +453,105 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     return ivf_search(assigned.filter(C("vec_id") != 0), model, qv, k=5,
                       nprobe=6)
+
+
+# Driver-hashed quality floors for the ANN contracts (see _ann_contract_row).
+# Set UNDER the minimum quality measured by scripts/probe_ann_recall.py across
+# tiers (sf0.001/0.01/0.1) AND session shapes (local[4]/[8]/[32]) — MLlib
+# KMeans is seeded but partitioning-sensitive, so the bound must survive any
+# session the driver builds. Measured this round: IVF recall@5 ∈ {0.6, 0.8,
+# 1.0}, LSH recall@5 ∈ {0.8, 1.0} over every (tier × master) combination.
+# Value-level recall stays pytest-asserted tighter.
+ANN_IVF_RECALL_FLOOR = 0.4
+ANN_LSH_RECALL_FLOOR = 0.6
+# PQ gets the c-APPROXIMATE-NN contract instead of recall: on the fixture's
+# near-random vectors pairwise distances concentrate, so 16⁸-code ADC recall
+# is legitimately ~0 (measured 0.0-0.4) while every returned neighbor is
+# still nearly as close as the true 5th — the guarantee ANN theory actually
+# states. Measured max c² = true_dist²(worst returned) / exact_kth_dist² ∈
+# [1.23, 1.33] across all tiers/masters; 1.8 is the floor with margin.
+ANN_PQ_C2_BOUND = 1.8
+
+
+def _ann_contract_row(ann_ids: DataFrame, exact: DataFrame, kth,
+                      floor: float) -> DataFrame:
+    """Fold an ANN result + its exact twin into ONE bound-checked contract
+    row (the approx-family oracle design, approx.py): `k`/`n_ann` and the
+    exact kth-metric are cross-engine exact; `recall_ok` asserts
+    |ann ∩ exact| / k ≥ floor and the DuckDB twin emits literal TRUE, so
+    a recall regression (bad fit, broken bucketing, candidate starvation)
+    fails the driver hash without ever hashing an engine-local neighbor
+    list. All branches are tiny aggregates of ≤k-row inputs."""
+    n_ann = ann_ids.agg(F.count(F.lit(1)).cast("int").alias("n_ann"))
+    n_common = (ann_ids.join(exact.select("vec_id"), "vec_id")
+                .agg(F.count(F.lit(1)).alias("__nc")))
+    kth_df = exact.agg(*kth)
+    return (
+        kth_df
+        .crossJoin(F.broadcast(n_ann))
+        .crossJoin(F.broadcast(n_common))
+        .select(F.lit(5).cast("int").alias("k"), "n_ann",
+                *kth_df.columns,
+                (C("__nc") / 5.0 >= floor).alias("recall_ok"))
+    )
+
+
+_DUCK_L2_DIST2 = (
+    "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+    " - 2 * list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
+    " + list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
+)
+
+
+def _l2_all_dist2(emb: DataFrame, qv: list[float]) -> DataFrame:
+    """(vec_id, dist2) for every row: squared L2 to the query, arithmetic
+    mirrored term-for-term by _DUCK_L2_DIST2 (‖x‖² − 2⟨x,q⟩ + ‖q‖², each
+    dot a left-to-right fold — the same cross-engine-exact shape the
+    cosine oracles rely on). Squared distance on BOTH sides: skipping the
+    sqrt avoids a rounding boundary and preserves the ordering."""
+    from ..functions.vector import dot
+
+    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
+    qd = [float(np.float32(x)) for x in qv]
+    qn2 = 0.0
+    for x in qd:
+        qn2 += x * x
+    e = C("embedding")
+    dist2 = dot(e, e) - 2 * dot(e, q) + F.lit(qn2)
+    return emb.select("vec_id", _trunc6(dist2).alias("dist2"))
+
+
+def _l2_exact_topk(emb: DataFrame, qv: list[float], k: int = 5) -> DataFrame:
+    """Exact squared-L2 top-k (TakeOrderedAndProject over _l2_all_dist2)."""
+    return _l2_all_dist2(emb, qv).orderBy("dist2", "vec_id").limit(k)
+
+
+@op("ext_ann_ivf", oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, {_duck_trunc6(_duck_cos('embedding', 'qv'))} AS sim
+           FROM embeddings, q
+           WHERE vec_id <> 0
+           ORDER BY sim DESC, vec_id LIMIT 5)
+    SELECT CAST(5 AS INT) AS k, CAST(5 AS INT) AS n_ann,
+           MIN(sim) AS exact_kth_sim, TRUE AS recall_ok
+    FROM ex
+""")
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, bound-checked (r6 conversion from rows-only): runs the
+    real IVF search (ann_ivf_neighbors — trained coarse quantizer, 6/16
+    cells probed) AND the exact cosine top-5, emitting the contract row:
+    exact kth similarity (cross-engine exact) plus recall@5 ≥
+    ANN_IVF_RECALL_FLOOR as a driver-hashed boolean. The DuckDB twin
+    recomputes the exact side and asserts TRUE — approximate neighbor
+    IDs are never hashed (they depend on the KMeans fit), but a recall
+    collapse now fails the driver, not just pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    ann = ann_ivf_neighbors(spark, sf_dir).select("vec_id")
+    exact = vector_search(emb.filter(C("vec_id") != 0), qv, k=5)
+    return _ann_contract_row(
+        ann, exact, [F.min("sim").alias("exact_kth_sim")],
+        ANN_IVF_RECALL_FLOOR)
 
 
 @op("vector_search_batch", oracle=f"""
@@ -568,8 +666,7 @@ def pq_search(encoded: DataFrame, codebooks: "np.ndarray",
     return scored.orderBy("adc_dist", id_col).limit(k)
 
 
-@op("ext_ann_pq")  # rows-only: quantized distances are approximate by design
-def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (8 subspaces × 16 centroids): codebooks
     trained per dimension-slice, corpus stored as 8-byte codes (32×
     compression), queries answered by ADC lookup tables. Third ANN strategy
@@ -582,8 +679,59 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(encoded, books, qv, k=5)
 
 
-@op("ext_ann_lsh")  # rows-only: LSH bucketing is approximate by design
-def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ANN_L2_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, {_duck_trunc6(_DUCK_L2_DIST2)} AS dist2
+           FROM embeddings, q
+           WHERE vec_id <> 0
+           ORDER BY dist2, vec_id LIMIT 5)
+    SELECT CAST(5 AS INT) AS k, CAST(5 AS INT) AS n_ann,
+           MAX(dist2) AS exact_kth_dist2, TRUE AS recall_ok
+    FROM ex
+"""
+
+
+@op("ext_ann_pq", oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, {_duck_trunc6(_DUCK_L2_DIST2)} AS dist2
+           FROM embeddings, q
+           WHERE vec_id <> 0
+           ORDER BY dist2, vec_id LIMIT 5)
+    SELECT CAST(5 AS INT) AS k, CAST(5 AS INT) AS n_ann,
+           MAX(dist2) AS exact_kth_dist2, TRUE AS approx_ok
+    FROM ex
+""")
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN, bound-checked (r6 conversion from rows-only) with the
+    c-APPROXIMATE-NN guarantee — the contract ANN theory actually makes:
+    every neighbor the quantized search returns has TRUE squared-L2
+    distance ≤ ANN_PQ_C2_BOUND × the exact 5th-nearest distance². Recall
+    is deliberately NOT the PQ contract: on near-random vectors pairwise
+    distances concentrate, so 16⁸-code ADC recall is legitimately ~0
+    while its returned points are still nearly as close as the true
+    top-5 (measured c² ≤ 1.33 everywhere; see probe_ann_recall.py) —
+    recall would either be vacuous or flaky, c-approximation is neither.
+    The DuckDB twin recomputes the exact kth distance² and asserts
+    approx_ok TRUE, so a codebook collapse (which sends c² to the sky)
+    fails the driver hash."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(C("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir, 0)
+    ann_true = (ann_pq_neighbors(spark, sf_dir).select("vec_id")
+                .join(_l2_all_dist2(emb, qv), "vec_id")
+                .agg(F.max("dist2").alias("__worst"),
+                     F.count(F.lit(1)).cast("int").alias("n_ann")))
+    exact = _l2_exact_topk(emb, qv, k=5)
+    kth = exact.agg(F.max("dist2").alias("exact_kth_dist2"))
+    return (
+        kth.crossJoin(F.broadcast(ann_true))
+        .select(F.lit(5).cast("int").alias("k"), "n_ann",
+                "exact_kth_dist2",
+                (C("__worst") <= ANN_PQ_C2_BOUND * C("exact_kth_dist2"))
+                .alias("approx_ok"))
+    )
+
+
+def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MLlib BucketedRandomProjectionLSH (fixed seed): the 100 TB
     path where brute force is off the table. Returns approx top-5 neighbors
     of vector #0; pytest cross-checks recall against exact search."""
@@ -603,6 +751,26 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       key_row["features"], 5)
     return nn.select("vec_id", F.round(C("distCol"), 6).alias("dist")) \
         .orderBy("dist", "vec_id")
+
+
+@op("ext_ann_lsh", oracle=_ANN_L2_ORACLE)
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN, bound-checked (r6 conversion from rows-only): the real
+    bucketed search (ann_lsh_neighbors — random-projection buckets rank
+    by euclidean distance, so squared L2 is its truth metric) plus the
+    exact L2 top-5, folded into one contract row: exact kth distance²
+    (cross-engine exact) and recall@5 ≥ ANN_LSH_RECALL_FLOOR as a
+    driver-hashed boolean. Projections derive from the fixed seed alone
+    (partitioning-independent), so LSH recall is the most stable of the
+    three ANN families across session shapes — the probe script verifies
+    exactly that before the floor is trusted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    ann = ann_lsh_neighbors(spark, sf_dir).select("vec_id")
+    exact = _l2_exact_topk(emb.filter(C("vec_id") != 0), qv, k=5)
+    return _ann_contract_row(
+        ann, exact, [F.max("dist2").alias("exact_kth_dist2")],
+        ANN_LSH_RECALL_FLOOR)
 
 
 @op("ext_kmeans_clusters")  # rows-only: float iteration order is engine-local

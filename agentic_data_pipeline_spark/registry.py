@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_semdedup", "ext_dedup_simhash_md5", "q_approx_agg",
     "ext_hll_rollup", "ext_snapshot_expire", "stream_stream_join_outer",
     "ext_dedup_substring", "ext_heavy_hitters", "ext_quantile_rollup",
+    "ext_ann_ivf", "ext_ann_lsh", "ext_ann_pq",
     # --- r4/r5 frontier, driver-evidenced green in r5; stays high so a
     # larger driver budget re-evidences the newest code paths first.
     "ext_skew_report", "ext_gopher_filters", "ext_lm_perplexity",
@@ -105,8 +106,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "ext_sample_stratified", "ext_train_val_split", "ext_corpus_stats",
     "ext_domain_mix",
-    "ext_dedup_embedding", "ext_ann_ivf", "vector_search_batch", "ext_ann_pq",
-    "ext_ann_lsh", "ext_kmeans_clusters", "ext_similarity_topk_batch",
+    "ext_dedup_embedding", "vector_search_batch",
+    "ext_kmeans_clusters", "ext_similarity_topk_batch",
     "ext_zorder_cluster", "ext_scd2_history",
     "ext_resize", "stream_dedup_watermark",
     # Round-1/2 green

@@ -61,7 +61,7 @@ def test_lang_id_markers(spark):
 def test_ann_lsh_recall_vs_exact(spark):
     """LSH approx top-5 should overlap heavily with exact top-5."""
     from agentic_data_pipeline_spark.operators.similarity import (
-        ext_ann_lsh, vector_search,
+        ann_lsh_neighbors, ext_ann_lsh, vector_search,
     )
     from agentic_data_pipeline_spark.catalog import load_table
 
@@ -70,8 +70,11 @@ def test_ann_lsh_recall_vs_exact(spark):
     qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
     exact = {r["vec_id"] for r in
              vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
-    approx = {r["vec_id"] for r in ext_ann_lsh(spark, sf).collect()}
+    approx = {r["vec_id"] for r in ann_lsh_neighbors(spark, sf).collect()}
     assert len(exact & approx) >= 3  # ≥60% recall on the fixture
+    # The registered op's bound-checked contract row must hold.
+    row = ext_ann_lsh(spark, sf).collect()[0]
+    assert (row.k, row.n_ann, row.recall_ok) == (5, 5, True), row
 
 
 def test_ann_ivf_recall_vs_exact(spark):
@@ -79,7 +82,7 @@ def test_ann_ivf_recall_vs_exact(spark):
 
     from agentic_data_pipeline_spark.catalog import load_table
     from agentic_data_pipeline_spark.operators.similarity import (
-        ext_ann_ivf, vector_search,
+        ann_ivf_neighbors, ext_ann_ivf, vector_search,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -87,9 +90,11 @@ def test_ann_ivf_recall_vs_exact(spark):
     qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
     exact = {r["vec_id"] for r in
              vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
-    approx = {r["vec_id"] for r in ext_ann_ivf(spark, sf).collect()}
+    approx = {r["vec_id"] for r in ann_ivf_neighbors(spark, sf).collect()}
     assert len(approx) == 5
     assert len(exact & approx) >= 2  # weak-structure fixture: 3/5 typical @ nprobe=6
+    row = ext_ann_ivf(spark, sf).collect()[0]
+    assert (row.k, row.n_ann, row.recall_ok) == (5, 5, True), row
 
 
 def test_vector_search_batch_matches_exact(spark):
@@ -115,7 +120,7 @@ def test_ann_pq_recall_vs_exact(spark):
     fixture: partial recall expected, exact distances are quantized away)."""
     from agentic_data_pipeline_spark.catalog import load_table
     from agentic_data_pipeline_spark.operators.similarity import (
-        ext_ann_pq, vector_search,
+        ann_pq_neighbors, ext_ann_pq, vector_search,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -123,9 +128,11 @@ def test_ann_pq_recall_vs_exact(spark):
     qv = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
     exact = {r["vec_id"] for r in
              vector_search(emb.filter("vec_id <> 0"), qv, k=5).collect()}
-    approx = {r["vec_id"] for r in ext_ann_pq(spark, sf).collect()}
+    approx = {r["vec_id"] for r in ann_pq_neighbors(spark, sf).collect()}
     assert len(approx) == 5
     assert len(exact & approx) >= 1  # 16^8 code space vs near-random vectors
+    row = ext_ann_pq(spark, sf).collect()[0]
+    assert (row.k, row.n_ann, row.approx_ok) == (5, 5, True), row
 
 
 def test_connected_components_transitive(spark):
