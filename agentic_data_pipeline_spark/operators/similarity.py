@@ -961,6 +961,168 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, threshold=0.35)
 
 
+# --- semdedup / k-means contract twins (r6): the production ops stay
+# rows-only (the k-means fit is engine-local), but — exactly like the ANN
+# family's recall contracts — the INVARIANTS the fit must satisfy are
+# oracle-checkable. Sampled isolation is the key idea: a vector whose max
+# cosine to EVERY other corpus vector sits strictly under the dedup
+# threshold cannot have a drop witness in any clustering, so "isolated ⇒
+# kept" is clustering-independent and cross-engine exact. The margin (0.34
+# vs the 0.35 threshold) keeps the raw-vs-truncated-cosine boundary from
+# ever deciding a row.
+SEMDEDUP_CONTRACT_SAMPLE = 100
+SEMDEDUP_ISOLATION_CEILING = 0.34
+
+
+@op("ext_semdedup_contract", oracle=f"""
+    WITH iso AS (
+        SELECT a.vec_id
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {SEMDEDUP_CONTRACT_SAMPLE}
+        GROUP BY a.vec_id
+        HAVING MAX({_duck_trunc6(_duck_cos('a.embedding', 'b.embedding'))})
+               <= {SEMDEDUP_ISOLATION_CEILING}
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_vectors,
+           CAST(GREATEST(8, COUNT(*) // 64) AS INT) AS k_clusters,
+           (SELECT CAST(COUNT(*) AS INT) FROM iso) AS n_sample_isolated,
+           TRUE AS partition_ok,
+           TRUE AS all_sample_isolated_kept,
+           TRUE AS kept_no_dup_ok
+    FROM embeddings
+""")
+def ext_semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashed contract for ext_semdedup (r6 rows-only conversion,
+    the ANN-recall-contract design): runs the REAL semdedup (corpus-derived
+    k, threshold 0.35) and folds it into one bound-checked row.
+
+    Cross-engine-exact fields: n_vectors; k_clusters (the semdedup_k_for
+    formula, re-derived in SQL); n_sample_isolated — among vec_id <
+    SEMDEDUP_CONTRACT_SAMPLE, how many have NO other corpus vector with
+    truncated cosine above SEMDEDUP_ISOLATION_CEILING (O(sample·n), both
+    engines fold the identical double arithmetic). Spark-computed booleans
+    the DuckDB twin asserts TRUE: partition_ok (one decision per corpus
+    vector), all_sample_isolated_kept (isolation ⇒ kept, the clustering-
+    independent consequence of the drop rule), kept_no_dup_ok (no two KEPT
+    vectors in one cluster within the threshold — the representative-per-
+    group guarantee). A k-means collapse, a broken semi-join, or a dropped
+    isolated vector now fails the driver hash, not just pytest."""
+    from ..functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = semdedup(emb, threshold=0.35).localCheckpoint()
+
+    n_df = emb.agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors"),
+        F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / 64))
+        .cast("int").alias("k_clusters"))
+
+    a = emb.filter(C("vec_id") < SEMDEDUP_CONTRACT_SAMPLE).select(
+        C("vec_id").alias("a_id"), C("embedding").alias("a_vec"),
+        l2_norm(C("embedding")).alias("a_n"))
+    b = emb.select(C("vec_id").alias("b_id"), C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = _trunc6(dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n")))
+    iso = (F.broadcast(a).join(b, C("a_id") != C("b_id"))
+           .groupBy("a_id").agg(F.max(sim).alias("__mx"))
+           .filter(C("__mx") <= SEMDEDUP_ISOLATION_CEILING)
+           .select(C("a_id").alias("vec_id")))
+    iso_row = (iso.join(res.select("vec_id", "kept"), "vec_id", "left")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_sample_isolated"),
+                    F.coalesce(F.min("kept"), F.lit(True))
+                    .alias("all_sample_isolated_kept")))
+
+    part_row = (res.agg(F.count(F.lit(1)).alias("__n_rows"),
+                        F.countDistinct("vec_id").alias("__n_ids"))
+                .select((C("__n_rows") == C("__n_ids")).alias("__one_each"),
+                        C("__n_rows")))
+
+    kept = res.filter("kept").join(emb.select("vec_id", "embedding"), "vec_id")
+    ka = kept.select(C("cluster_id"), C("vec_id").alias("a_id"),
+                     C("embedding").alias("a_vec"),
+                     l2_norm(C("embedding")).alias("a_n"))
+    kb = kept.select(C("cluster_id").alias("b_cluster"),
+                     C("vec_id").alias("b_id"),
+                     C("embedding").alias("b_vec"),
+                     l2_norm(C("embedding")).alias("b_n"))
+    ksim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
+    dup_row = (ka.join(kb, (C("cluster_id") == C("b_cluster"))
+                       & (C("a_id") < C("b_id")))
+               .filter(ksim > 0.35)
+               .agg(F.count(F.lit(1)).alias("__n_dup")))
+
+    return (n_df
+            .crossJoin(F.broadcast(iso_row))
+            .crossJoin(F.broadcast(part_row))
+            .crossJoin(F.broadcast(dup_row))
+            .select("n_vectors", "k_clusters", "n_sample_isolated",
+                    (C("__one_each") & (C("__n_rows") == C("n_vectors")))
+                    .alias("partition_ok"),
+                    "all_sample_isolated_kept",
+                    (C("__n_dup") == 0).alias("kept_no_dup_ok")))
+
+
+@op("ext_kmeans_contract", oracle="""
+    SELECT CAST(COUNT(*) AS INT) AS n_vectors,
+           CAST(8 AS INT) AS k,
+           CAST(MAX(len(embedding)) AS INT) AS dim,
+           TRUE AS sizes_sum_ok,
+           TRUE AS all_nearest_ok,
+           TRUE AS all_clusters_nonempty
+    FROM embeddings
+""")
+def ext_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashed contract for ext_kmeans_clusters (r6 rows-only
+    conversion): fits the SAME MLlib k-means (k=8, seed 42) and verifies
+    the model from scratch — every vector's assigned centroid must be the
+    argmin over the 8 cluster centers by squared L2, recomputed as a pure
+    Catalyst expression (‖x‖² − 2⟨x,c⟩ + ‖c‖², centers broadcast as
+    literals) with a relative tolerance that absorbs MLlib's
+    fastSquaredDistance shortcut on near-ties. Cross-engine-exact fields:
+    n_vectors, k, dim; booleans asserted TRUE by the twin: sizes_sum_ok
+    (one non-null assignment per vector), all_nearest_ok, and
+    all_clusters_nonempty (seeded fit on the fixture fills all 8 — a
+    collapsed/duplicated-centroid fit fails the driver)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding",
+                      array_to_vector(C("embedding").cast("array<double>"))
+                      .alias("__f"))
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="__f",
+                   predictionCol="cluster_id").fit(vecs)
+    assigned = model.transform(vecs).drop("__f")
+
+    e = C("embedding")
+    dists = []
+    for center in model.clusterCenters():
+        cs = [float(x) for x in center]
+        cn2 = 0.0
+        for x in cs:
+            cn2 += x * x
+        carr = F.array(*[F.lit(x) for x in cs])
+        dists.append(dot(e, e) - 2 * dot(e, carr) + F.lit(cn2))
+    assigned_d2 = F.element_at(F.array(*dists), C("cluster_id") + 1)
+    min_d2 = F.least(*dists)
+    row_ok = assigned_d2 <= min_d2 * (1 + 1e-4) + F.lit(1e-6)
+
+    n_row = emb.agg(F.count(F.lit(1)).cast("int").alias("n_vectors"),
+                    F.max(F.size("embedding")).cast("int").alias("dim"))
+    fit_row = assigned.agg(
+        F.count("cluster_id").alias("__n_assigned"),
+        F.min(row_ok).alias("all_nearest_ok"),
+        F.countDistinct("cluster_id").alias("__n_clusters"))
+    return (n_row.crossJoin(F.broadcast(fit_row))
+            .select("n_vectors", F.lit(8).cast("int").alias("k"), "dim",
+                    (C("__n_assigned") == C("n_vectors")).alias("sizes_sum_ok"),
+                    "all_nearest_ok",
+                    (C("__n_clusters") == 8).alias("all_clusters_nonempty")))
+
+
 _KNN_GRAPH_ORACLE = f"""
     SELECT vec_id, neighbor_id, sim, rank FROM (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

@@ -77,3 +77,28 @@ def test_knn_graph_batch_matches_jvm_twin(spark, sf_dir):
     for e in jvm:
         assert abs(jvm[e][0] - blas[e][0]) < 2e-6, e
         assert jvm[e][1] == blas[e][1], e
+
+
+def test_semdedup_contract_is_not_vacuous(spark, sf_dir):
+    """The driver-hashed contract row must exercise real signal: some
+    sampled vectors are isolated (so 'isolation => kept' checks actual
+    rows) and some are NOT (so the margin-based isolation test can fail if
+    the cosine arithmetic drifts)."""
+    from agentic_data_pipeline_spark.operators.similarity import (
+        SEMDEDUP_CONTRACT_SAMPLE, ext_semdedup_contract)
+
+    row = ext_semdedup_contract(spark, sf_dir).collect()[0]
+    assert row.partition_ok and row.all_sample_isolated_kept \
+        and row.kept_no_dup_ok, row
+    assert 0 < row.n_sample_isolated < SEMDEDUP_CONTRACT_SAMPLE, row
+    assert row.k_clusters == max(8, row.n_vectors // 64)
+
+
+def test_kmeans_contract_verifies_fit(spark, sf_dir):
+    from agentic_data_pipeline_spark.operators.similarity import (
+        ext_kmeans_contract)
+
+    row = ext_kmeans_contract(spark, sf_dir).collect()[0]
+    assert row.sizes_sum_ok and row.all_nearest_ok \
+        and row.all_clusters_nonempty, row
+    assert row.k == 8 and row.dim == 64
