@@ -157,11 +157,13 @@ def test_tfidf_df_side_broadcasts(spark):
     assert "EvalPython" not in p                        # pure Catalyst
 
 
-def test_q2_correlated_min_decorrelates_to_broadcast(spark):
+def test_q2_correlated_min_decorrelates_to_window(spark):
     p = plan_of(spark, "q2_min_cost_supplier")
-    # the per-part MIN and the part dim both come back as broadcast builds;
-    # no per-row subquery, no fact-fact sort-merge
-    assert p.count("BroadcastHashJoin") >= 3
+    # the correlated MIN runs as a per-part window over ONE fact pass (no
+    # second lineitem scan, and no part-cardinality broadcast — that build
+    # side grows with the data); dims broadcast; no fact-fact sort-merge
+    assert "Window" in p
+    assert p.count("BroadcastHashJoin") >= 3            # nation/region/part
     assert "SortMergeJoin" not in p
 
 
@@ -184,6 +186,9 @@ def test_q13_outer_join_preserves_customers(spark):
     p = plan_of(spark, "q13_order_distribution")
     assert "LeftOuter" in p
     assert p.count("HashAggregate") >= 4              # two agg levels, partial+final
+    # orders pre-aggregates BEFORE the join (map-side combine shrinks the
+    # shuffle to customer cardinality) and the counts side never broadcasts
+    assert "BroadcastHashJoin" not in p
 
 
 def test_q15_argmax_never_collects(spark):
