@@ -116,12 +116,13 @@ def test_q14_q19_part_broadcasts_and_pushdown(spark):
     assert "Or(" in p19.split("PushedFilters")[1][:400]
 
 
-def test_q17_decorrelated_avg_broadcasts(spark):
+def test_q17_decorrelated_avg_is_window_after_brand_filter(spark):
     p = plan_of(spark, "q17_small_quantity")
-    # the per-partkey average joins back via broadcast, never a per-row
-    # subquery; two HashAggregates = the avg pass + the final scalar.
+    # the per-partkey average runs as a window over the brand-filtered
+    # fact (one pass, no part-cardinality broadcast of the cutoffs);
+    # only the part dim broadcasts, never a per-row subquery.
+    assert "Window" in p
     assert "BroadcastHashJoin" in p
-    assert p.count("HashAggregate") >= 2
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark):
