@@ -582,7 +582,12 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
     The WORD FREQUENCY table (distinct words, not documents) is the loop
     state — at 100 TB the corpus is touched once to build it; iterations
     then run on the vocabulary, which is millions of rows, not billions.
-    localCheckpoint would truncate the growing lineage for large n_merges.
+    "Touched once" is enforced by a localCheckpoint of the initial table:
+    without it every step's argmax collect re-evaluates the corpus
+    explode+groupBy from scratch (a corpus rescan per merge — the same
+    recompute-per-round defect class fixed in connected_components), and
+    the loop re-checkpoints every 8 merges so the regexp_replace chain in
+    the plan stays bounded for large n_merges.
     """
     import re as _re
 
@@ -593,7 +598,8 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
           .groupBy("w").agg(F_.count(F_.lit(1)).alias("freq"))
           # word → space-joined character symbols: "low" → "l o w"
           .select(F_.array_join(F_.split(C("w"), ""), " ").alias("sym"),
-                  "freq"))
+                  "freq")
+          .localCheckpoint())
     merges: list[tuple[int, str, int]] = []
     for step in range(1, n_merges + 1):
         syms = F_.split(C("sym"), " ")
@@ -615,6 +621,8 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
         pat = rf"(?<!\S){_re.escape(a)} {_re.escape(b)}(?!\S)"
         wf = wf.select(
             F_.regexp_replace(C("sym"), pat, a + b).alias("sym"), "freq")
+        if step % 8 == 0:
+            wf = wf.localCheckpoint()
     return merges
 
 
