@@ -844,6 +844,146 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return comp.select(C("id"), C("comp").alias("component_id"))
 
 
+def connected_components_star(vertices: DataFrame, edges: DataFrame,
+                              max_iter: int = 50,
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round algorithm for graphs whose diameter
+    is NOT known to be small.
+
+    ``connected_components`` (min-label propagation) runs one round per
+    unit of graph diameter: perfect for near-dup clusters (dense, tiny,
+    diameter <= 3-4) and the default everywhere in this engine. But at
+    100 TB some real graphs are long and thin — web-link chains,
+    citation paths, temporal follow graphs — where diameter grows with
+    the data and a diameter-bound loop means thousands of shuffle
+    rounds. Star-contraction converges in O(log n) rounds regardless of
+    diameter by repeatedly rewiring every vertex to the minimum of its
+    neighborhood:
+
+    - large-star: for each vertex u, connect every neighbor v > u to
+      m = min(N(u) ∪ {u}). (Strictly-larger neighbors hop two levels
+      down; no self-loops since m <= u < v.)
+    - small-star: orient every edge large→small, then connect each
+      smaller neighbor (and u itself) to m. Stars form around component
+      minima; the edge multiset is a monotone potential, so a fixpoint
+      checksum (count + endpoint sums + xxhash64 sum) detects
+      convergence exactly — same trick as min-label's label-sum.
+
+    Both phases are groupBy + join over the edge list — plain hash
+    shuffles, nothing driver-side; per-round lineage is cut with
+    localCheckpoint exactly like the min-label loop. Returns
+    (id, component_id = min reachable id), isolated vertices map to
+    themselves — bit-identical contract to ``connected_components``
+    (pytest pins equality on random graphs; the chain probe pins the
+    round-count separation: scripts/probe_cc_star.py).
+    """
+    E = (edges.select(C("s").alias("a"), C("t").alias("b"))
+         .filter(C("a") != C("b")).distinct().localCheckpoint())
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        # -- large-star ------------------------------------------------
+        sym = E.union(E.select(C("b").alias("a"), C("a").alias("b")))
+        mins = (sym.groupBy("a")
+                .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        large = (sym.join(mins, "a")
+                 .filter(C("b") > C("a"))
+                 .select(C("b").alias("a"), C("m").alias("b")))
+        # -- small-star ------------------------------------------------
+        oriented = large.select(F.greatest(C("a"), C("b")).alias("a"),
+                                F.least(C("a"), C("b")).alias("b"))
+        smins = (oriented.groupBy("a")
+                 .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        joined = oriented.join(smins, "a")
+        E = (joined.select(C("b").alias("a"), C("m").alias("b"))
+             .union(smins.select(C("a"), C("m").alias("b")))
+             .filter(C("a") != C("b"))
+             .distinct()
+             .localCheckpoint())
+        rounds += 1
+        # Decimal(38,0) sums: the xxhash64 sum overflows BIGINT under
+        # ANSI mode after a handful of rows; decimal accumulation is
+        # exact and order-independent.
+        sig = tuple(E.agg(
+            F.count(F.lit(1)),
+            F.sum(C("a").cast("decimal(38,0)")),
+            F.sum(C("b").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+        ).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Converged stars: one (u, component-min) edge per non-root vertex.
+    # Roots and isolated vertices label themselves via the left join; the
+    # min-agg is the deterministic guard for a max_iter truncation (at the
+    # fixpoint it is a no-op pass over single-row groups).
+    roots = E.groupBy(C("a").alias("id")).agg(F.min("b").alias("_root"))
+    return (vertices.join(roots, "id", "left")
+            .select("id", F.coalesce(C("_root"), C("id"))
+                    .alias("component_id")))
+
+
+@op("ext_dedup_components_star", oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+              / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                 * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))))
+              > 0.35
+    ), edges AS (
+        SELECT a_id AS s, b_id AS t FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ), reach(s, t) AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+        SELECT s AS vec_id, LEAST(s, MIN(t)) AS component_id
+        FROM reach GROUP BY s
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(c.component_id, e.vec_id) AS BIGINT) AS component_id
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+""")
+def ext_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext_dedup_components' graph solved by the O(log n)-round
+    large-star/small-star algorithm instead of diameter-bound min-label
+    propagation — same embedding-cosine near-dup edges, same
+    (vec_id, component_id = min member) contract, same DuckDB
+    recursive-CTE oracle, so the driver hash-pins that both CC
+    algorithms agree with the ground truth independently. The round
+    separation that motivates it is pinned by scripts/probe_cc_star.py
+    (a diameter-d chain: min-label needs d rounds, star O(log d))."""
+    from ..functions.vector import dot, l2_norm
+    from ..catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    a = emb.select(C("vec_id").alias("a_id"), C("label").alias("a_label"),
+                   C("embedding").alias("a_vec"),
+                   l2_norm(C("embedding")).alias("a_n"))
+    b = emb.select(C("vec_id").alias("b_id"), C("label").alias("b_label"),
+                   C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
+    edges = (
+        a.join(b, (C("a_label") == C("b_label")) & (C("a_id") < C("b_id")))
+        .filter(sim > 0.35)
+        .select(C("a_id").alias("s"), C("b_id").alias("t"))
+    )
+    vertices = emb.select(C("vec_id").alias("id"))
+    return connected_components_star(vertices, edges) \
+        .select(C("id").alias("vec_id"), "component_id")
+
+
 @op("ext_dedup_components", oracle="""
     WITH RECURSIVE pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -73,6 +73,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_substring", "ext_heavy_hitters", "ext_quantile_rollup",
     "ext_ann_ivf", "ext_ann_lsh", "ext_ann_pq",
     "ext_semdedup_contract", "ext_kmeans_contract",
+    "ext_dedup_components_star",
     # --- r4/r5 frontier, driver-evidenced green in r5; stays high so a
     # larger driver budget re-evidences the newest code paths first.
     "ext_skew_report", "ext_gopher_filters", "ext_lm_perplexity",

@@ -50,6 +50,7 @@ SECTIONS = [
     ("Training-data extensions (SURVEY §2.5 / task brief)", [
         "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_simhash",
         "ext_dedup_ngram", "ext_dedup_embedding", "ext_dedup_components",
+        "ext_dedup_components_star",
         "ext_dedup_resolve", "ext_similarity_topk",
         "ext_similarity_topk_batch", "ext_tfidf",
         "ext_ann_lsh", "ext_ann_ivf", "ext_ann_pq", "vector_search_batch",

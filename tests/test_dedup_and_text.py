@@ -148,6 +148,44 @@ def test_connected_components_transitive(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """large-star/small-star CC must return the exact (id, min-reachable)
+    labeling of the min-label algorithm on a seeded random graph (plus
+    isolated vertices and a dense clique), and it must converge on a
+    diameter-64 chain in O(log n) rounds where min-label needs 64 — the
+    separation that makes it the 100 TB choice for long-thin graphs."""
+    import random
+
+    from agentic_data_pipeline_spark.operators.dedup import (
+        connected_components, connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edge_list += [(50 + i, 50 + j) for i in range(5) for j in range(i)]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in edge_list if s != t],
+        "s bigint, t bigint")
+    want = {r["id"]: r["component_id"]
+            for r in connected_components(vertices, edges).collect()}
+    got = {r["id"]: r["component_id"]
+           for r in connected_components_star(vertices, edges).collect()}
+    assert got == want
+
+    # Chain 0-1-...-64: diameter 64. Star must land the single component
+    # in <= 10 rounds (log-bound + fixpoint confirmation); min-label's
+    # round count IS the diameter (its docstring contract).
+    chain_v = spark.createDataFrame([(i,) for i in range(65)], "id bigint")
+    chain_e = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "s bigint, t bigint")
+    stats: dict = {}
+    comp = connected_components_star(chain_v, chain_e, stats=stats)
+    assert {r["component_id"] for r in comp.collect()} == {0}
+    assert stats["rounds"] <= 10, stats
+
+
 def test_passage_dedup_semantics(spark):
     from agentic_data_pipeline_spark.operators.prep import passage_dedup
 
