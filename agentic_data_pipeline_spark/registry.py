@@ -65,6 +65,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bm25_search", "ext_hybrid_search", "ext_dedup_minhash_md5",
     "ext_dedup_incremental_fuzzy", "stream_dedup_fuzzy",
     "ext_embed_word2vec", "ext_snapshot_versions", "ext_time_travel_diff",
+    # --- new in r6 session 3: data-quality expectation suite, LDA topic
+    # model (contract-oracle family), int8 embedding quantization.
+    "ext_expectations", "ext_topic_model", "ext_embedding_quantize",
     # --- changed/new in r6: semdedup's k is now corpus-derived (was
     # pinned to the sf0.01 fixture), the approximate family gained
     # bound-checked oracles, and the snapshot/streaming surfaces grew.
@@ -157,8 +160,9 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from .operators import (  # noqa: F401
-        analytics, approx, cdc, dedup, flagship, graph, multimodal, prep,
-        profiling, reference_ops, rules, sampling, sessionize,
-        similarity, sql_surface, streaming_ops, temporal, text, tpch_full,
+        analytics, approx, cdc, dedup, expectations, flagship, graph,
+        multimodal, prep, profiling, reference_ops, rules, sampling,
+        sessionize, similarity, sql_surface, streaming_ops, temporal,
+        text, topics, tpch_full, vector_store,
     )
     _loaded = True

@@ -1,0 +1,178 @@
+"""Semantic tests for the r6 session-3 additions: the data-quality
+expectation suite, the LDA topic model, and int8 embedding quantization.
+Oracle parity is covered by test_oracle_parity.py; these pin the
+*semantics* — that violations are counted correctly against hand-built
+inputs, that the topic model's per-doc artifact is a seeded, consistent
+partition, and that the quantizer round-trips within its error bound."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- dedup
+def test_expectation_suite_counts_planted_violations(spark):
+    """Hand-built tables with one violation of each class: the suite must
+    report exactly the planted counts and fail exactly those rows."""
+    from agentic_data_pipeline_spark.operators.expectations import (
+        expectation_suite,
+    )
+
+    d = datetime.datetime
+    orders = spark.createDataFrame(
+        [
+            # (orderkey, custkey, status, totalprice, orderdate)
+            (1, 10, "O", 100.0, d(2024, 1, 10)),
+            (1, 10, "F", 50.0, d(2024, 1, 11)),   # duplicate orderkey
+            (2, None, "P", 75.0, d(2024, 1, 12)),  # null custkey
+            (3, 99, "X", -5.0, d(2024, 1, 13)),    # bad status, bad price,
+                                                   # orphan custkey
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [
+            # (orderkey, quantity, discount, shipdate)
+            (1, 5.0, 0.05, d(2024, 1, 15)),        # clean
+            (1, 99.0, 0.05, d(2024, 1, 15)),       # quantity out of range
+            (2, 5.0, 0.5, d(2024, 1, 15)),         # discount out of range
+            (7, 5.0, 0.05, d(2024, 1, 15)),        # orphan orderkey
+            (3, 5.0, 0.05, d(2024, 1, 1)),         # ships before order date
+        ],
+        "l_orderkey long, l_quantity double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    out = {r["expectation"]: (r["metric"], r["passed"])
+           for r in expectation_suite(orders, customer, lineitem).collect()}
+    expect = {
+        "orders_orderkey_unique": 1.0,
+        "orders_custkey_complete": 1.0,
+        "orders_status_accepted": 1.0,
+        "orders_totalprice_positive": 1.0,
+        # two orphan rows: custkey 99 (absent from customer) and the NULL
+        # custkey (equality anti-join never matches NULL)
+        "orders_custkey_ri": 2.0,
+        # lineitem-local checks run on their own scan, so the duplicated
+        # orderkey 1 in orders must NOT inflate them: exactly one each
+        "lineitem_quantity_range": 1.0,
+        "lineitem_discount_range": 1.0,
+        "lineitem_orderkey_ri": 1.0,
+        # orderkey-1 lineitems join both duplicate orders rows but violate
+        # against neither orderdate; only the planted orderkey-3 row fires
+        "lineitem_ship_after_order": 1.0,
+    }
+    for name, want in expect.items():
+        got, passed = out[name]
+        assert got == want, f"{name}: got {got}, want {want}"
+        assert passed == (want == 0.0)
+    assert len(out) == 9
+
+
+def test_expectation_suite_on_lake_flags_only_shipdate(spark, sf_dir):
+    """On the synthetic lake every expectation passes EXCEPT the
+    ship-after-order invariant (the generator draws l_shipdate
+    independently of o_orderdate)."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_expectations"].fn(spark, sf_dir).collect()
+    failed = {r["expectation"] for r in rows if not r["passed"]}
+    assert failed == {"lineitem_ship_after_order"}
+    by_name = {r["expectation"]: r["metric"] for r in rows}
+    assert by_name["lineitem_ship_after_order"] > 0
+
+
+# ------------------------------------------------------------- topics
+def test_topic_model_per_doc_artifact(spark, sf_dir):
+    """The per-document output is a total partition with a valid argmax:
+    every doc scored once, topic_id in [0,k), weight = max of a
+    normalized distribution, and the seeded fit is reproducible."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.topics import (
+        K_TOPICS, fit_topics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fit_topics(docs).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    for r in out:
+        assert 0 <= r["topic_id"] < K_TOPICS
+        assert r["dist_len"] == K_TOPICS
+        assert abs(r["dist_sum"] - 1.0) <= 1e-6
+        assert 1.0 / K_TOPICS - 1e-9 <= r["topic_weight"] <= 1.0
+
+    again = {r["doc_id"]: r["topic_id"] for r in fit_topics(docs).collect()}
+    assert again == {r["doc_id"]: r["topic_id"] for r in out}, \
+        "seeded LDA fit must be reproducible"
+
+
+# ----------------------------------------------------------- quantize
+def test_quantize_roundtrip_error_bound(spark):
+    """Quantized codes must be in [-127, 127], reconstruct within
+    scale/2 per element, and zero vectors must encode to all-zero with
+    scale 0."""
+    from agentic_data_pipeline_spark.operators.vector_store import (
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    vecs.append((50, [0.0] * 16))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert len(rows) == 51
+    zero = rows[50]
+    assert zero["scale"] == 0.0 and set(zero["q"]) == {0}
+    originals = {i: np.asarray(v, dtype=np.float32).astype(np.float64)
+                 for i, v in vecs}
+    for vid, r in rows.items():
+        q = np.asarray(r["q"], dtype=np.int64)
+        assert (np.abs(q) <= 127).all()
+        assert r["recon_ok"]
+        x = originals[vid]
+        if r["scale"] > 0:
+            # round-trip: q * scale within half a quantization step
+            assert np.max(np.abs(x - q * r["scale"])) \
+                <= r["scale"] * 0.5000001 + 1e-18
+            # scale is max|x|/127
+            assert r["scale"] == pytest.approx(np.max(np.abs(x)) / 127.0,
+                                               rel=0, abs=0)
+            assert r["n_saturated"] >= 1  # the max element saturates
+
+
+def test_quantize_preserves_cosine_ranking(spark, sf_dir):
+    """The point of int8 storage: cosine rankings survive quantization.
+    Spearman-ish check — top-10 neighbor sets of the first vector under
+    float vs int8 overlap >= 8/10 on the fixture embeddings."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.vector_store import (
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    deq = {r["vec_id"]: np.asarray(r["q"], dtype=np.float64) * r["scale"]
+           for r in quantize_int8(emb).collect()}
+
+    def top10(vectors, qid):
+        qv = vectors[qid]
+        sims = {}
+        for vid, v in vectors.items():
+            if vid == qid:
+                continue
+            denom = np.linalg.norm(qv) * np.linalg.norm(v)
+            sims[vid] = (qv @ v) / denom if denom else 0.0
+        return {v for v, _ in sorted(sims.items(),
+                                     key=lambda kv: -kv[1])[:10]}
+
+    qid = min(orig)
+    assert len(top10(orig, qid) & top10(deq, qid)) >= 8
