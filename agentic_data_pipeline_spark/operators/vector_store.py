@@ -85,3 +85,71 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec error-bound check — hashed value-exact against the DuckDB
     replay of the identical arithmetic."""
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- search over the int8 codes -------------------------------------
+# Cosine is invariant to per-vector scaling, so the symmetric-quantized
+# codes can be searched WITHOUT dequantization: the per-vector scales
+# cancel out of dot/(|a||b|), leaving integer dot products over the
+# int8 arrays — the arithmetic a SIMD int8 kernel (or a 100 TB bucket
+# scan over the 4×-smaller code table) actually runs. Exact oracle, not
+# a contract: integer dots ≤ dim·127² are exact in doubles, so the twin
+# replays quantize + integer-cosine + top-k bit-for-bit.
+
+_ANN_INT8_ORACLE = """
+WITH s AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS x,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                   v -> abs(v))) / 127.0 AS scale
+    FROM embeddings
+),
+enc AS (
+    SELECT vec_id,
+           CASE WHEN scale = 0.0
+                THEN list_transform(x, v -> CAST(0 AS BIGINT))
+                ELSE list_transform(
+                    x, v -> CAST(FLOOR(v / scale + 0.5) AS BIGINT))
+           END AS q
+    FROM s
+)
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+           FLOOR((list_sum(list_transform(list_zip(c.q, qs.q),
+                                          p -> CAST(p[1] * p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(c.q,
+                                                  v -> CAST(v * v AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(qs.q,
+                                                    v -> CAST(v * v AS DOUBLE))))))
+                 * 1e6 + 1e-3) / 1e6 AS sim
+    FROM enc c JOIN enc qs ON c.vec_id <> qs.vec_id
+    WHERE qs.vec_id IN (0, 1, 2)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+                               ORDER BY sim DESC, c.vec_id) <= 5
+)
+"""
+
+
+@op("ext_ann_int8", oracle=_ANN_INT8_ORACLE)
+def ext_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine search over the int8-quantized index for queries
+    {0,1,2}: quantize once, broadcast the quantized query set, rank by
+    integer-cosine with the same salted two-phase top-k as the float
+    path (similarity.batch_topk — the all-pairs matrix never
+    materializes). tests/test_expectations_topics_quantize.py pins the
+    recall property (int8 preserves float rankings); this op pins the
+    int8 arithmetic itself hash-exactly against DuckDB."""
+    from ..functions.vector import dot, l2_norm
+    from .similarity import _trunc6, batch_topk
+
+    codes = (quantize_int8(load_table(spark, sf_dir, "embeddings"))
+             .select("vec_id", "q"))
+    queries = codes.filter(C("vec_id").isin(0, 1, 2)).select(
+        C("vec_id").alias("query_id"), C("q").alias("qq"),
+        l2_norm(C("q")).alias("qn"))
+    sim = dot(C("q"), C("qq")) / (l2_norm(C("q")) * C("qn"))
+    scored = (codes.crossJoin(F.broadcast(queries))
+              .filter(C("vec_id") != C("query_id"))
+              .select("query_id", C("vec_id").alias("neighbor_id"),
+                      _trunc6(sim).alias("sim")))
+    return batch_topk(scored, k=5)

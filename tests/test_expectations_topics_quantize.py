@@ -176,3 +176,27 @@ def test_quantize_preserves_cosine_ranking(spark, sf_dir):
 
     qid = min(orig)
     assert len(top10(orig, qid) & top10(deq, qid)) >= 8
+
+
+def test_ann_int8_recall_vs_float_topk(spark, sf_dir):
+    """The int8 search op must recover the float brute-force top-5 almost
+    everywhere: >= 4/5 neighbor overlap per query on the fixture (the
+    codec's ranking error is sub-quantization-step)."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    int8_rows = OPS["ext_ann_int8"].fn(spark, sf_dir).collect()
+    float_rows = OPS["ext_similarity_topk"].fn(spark, sf_dir).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    i8, fl = by_query(int8_rows), by_query(float_rows)
+    assert set(i8) == set(fl) == {0, 1, 2}
+    for q in fl:
+        assert len(i8[q]) == 5
+        assert len(i8[q] & fl[q]) >= 4, \
+            f"query {q}: int8 {sorted(i8[q])} vs float {sorted(fl[q])}"
