@@ -498,3 +498,149 @@ def stream_dedup_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxFilesPerTrigger/file-ordering assumption broken")
     return decisions[0]
 
+
+
+_STREAM_GATE_ORACLE = """
+WITH c AS (
+    SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
+               AS orders_orderkey_unique,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) AS orders_custkey_complete,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               AS orders_status_accepted,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) AS orders_totalprice_positive
+    FROM orders
+),
+ri AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS orders_custkey_ri
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+stacked AS (
+    SELECT 'orders_orderkey_unique' AS expectation,
+           orders_orderkey_unique AS metric FROM c
+    UNION ALL SELECT 'orders_custkey_complete', orders_custkey_complete
+    FROM c
+    UNION ALL SELECT 'orders_status_accepted', orders_status_accepted
+    FROM c
+    UNION ALL SELECT 'orders_totalprice_positive',
+           orders_totalprice_positive FROM c
+    UNION ALL SELECT 'orders_custkey_ri', orders_custkey_ri FROM ri
+)
+SELECT expectation, metric, metric = 0 AS passed
+FROM stacked ORDER BY expectation
+"""
+
+
+@op("stream_quality_gate", oracle=_STREAM_GATE_ORACLE)
+def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-quality gate: the foreachBatch twin of
+    ext_expectations' orders-side checks, over a 4-micro-batch orders
+    stream. The accumulated violation counters after the availableNow
+    replay must hash-equal the batch suite on the whole fixture —
+    proving no batch lost, doubled, or double-counted a violation.
+
+    Per micro-batch:
+    - row-local violations (null custkey, bad status, non-positive
+      price) reduce to ONE counter row map-side — additive across
+      batches, merged into a 1-row state table;
+    - referential integrity is a stream-static broadcast anti-join
+      against the customer dim (the standard enrich topology);
+    - key uniqueness is the genuinely stateful check: per-key arrival
+      counts merge into a seen-orderkeys state table (same versioned
+      read-modify-write as stream_upsert, idempotent under epoch
+      retry); duplicates = Σcounts − #keys at gate-read time, which a
+      per-batch counter cannot compute (a dup's first copy may be in an
+      earlier batch).
+
+    Scale shape: per-batch shuffle is touched-keys-sized; counter state
+    is O(1); key state is key-cardinality-sized (at 100 TB swap it for
+    a Bloom/sketch state at the cost of exactness — the gate's counts
+    here are exact by design so they can hash against the oracle)."""
+    import uuid as _uuid
+
+    from ..operators.reference_ops import (
+        _lake_fp, _materialize_once, _sf_scratch,
+    )
+
+    C = F.col
+    split = _sf_scratch(sf_dir, "stream_gate", "orders_4")
+    orders_path = table_path(sf_dir, "orders")
+    _materialize_once(
+        split,
+        lambda: spark.read.parquet(orders_path)
+        .repartitionByRange(4, "o_orderkey")
+        .write.mode("overwrite").parquet(split),
+        _lake_fp(sf_dir, "orders"))
+
+    customer = (spark.read.parquet(table_path(sf_dir, "customer"))
+                .select("c_custkey"))
+    run_dir = os.path.join("/root/repo/.tmp", "stream_gate",
+                           _uuid.uuid4().hex[:8])
+    os.makedirs(run_dir, exist_ok=True)
+    schema = spark.read.parquet(split).schema
+    state = {"counters": None, "keys": None}
+
+    def gate_batch(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+
+        def viol(cond):
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+
+        ri = (bdf.join(F.broadcast(customer),
+                       C("o_custkey") == C("c_custkey"), "left_anti")
+              .agg(F.count(F.lit(1)).cast("double")
+                   .alias("orders_custkey_ri")))
+        counters = (bdf.agg(
+            viol(C("o_custkey").isNull()).alias("orders_custkey_complete"),
+            viol(~C("o_orderstatus").isin("O", "F", "P"))
+            .alias("orders_status_accepted"),
+            viol(C("o_totalprice") <= 0)
+            .alias("orders_totalprice_positive"))
+            .crossJoin(F.broadcast(ri)))
+        keys = bdf.groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        if state["counters"] is not None:
+            prev_c = s.read.parquet(state["counters"])
+            counters = (prev_c.unionByName(counters).agg(
+                F.sum("orders_custkey_complete")
+                .alias("orders_custkey_complete"),
+                F.sum("orders_status_accepted")
+                .alias("orders_status_accepted"),
+                F.sum("orders_totalprice_positive")
+                .alias("orders_totalprice_positive"),
+                F.sum("orders_custkey_ri").alias("orders_custkey_ri")))
+            prev_k = s.read.parquet(state["keys"])
+            keys = (prev_k.unionByName(keys).groupBy("o_orderkey")
+                    .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+        c_out = os.path.join(run_dir, f"counters_v{batch_id}")
+        k_out = os.path.join(run_dir, f"keys_v{batch_id}")
+        counters.write.mode("overwrite").parquet(c_out)
+        keys.write.mode("overwrite").parquet(k_out)
+        state["counters"], state["keys"] = c_out, k_out
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(split)
+         .writeStream.foreachBatch(gate_batch)
+         .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    assert state["counters"] is not None, "stream produced no batches"
+
+    counters = spark.read.parquet(state["counters"])
+    dup = (spark.read.parquet(state["keys"])
+           .agg((F.sum("cnt") - F.count(F.lit(1))).cast("double")
+                .alias("orders_orderkey_unique")))
+    wide = counters.crossJoin(F.broadcast(dup))
+    names = ("orders_orderkey_unique", "orders_custkey_complete",
+             "orders_status_accepted", "orders_totalprice_positive",
+             "orders_custkey_ri")
+    stack_args = ", ".join(f"'{n}', {n}" for n in names)
+    return (wide.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (expectation, metric)")
+        .select("expectation", "metric",
+                (C("metric") == 0).alias("passed"))
+        .orderBy("expectation"))

@@ -98,7 +98,8 @@ SECTIONS = [
                          "stream_join", "stream_stream_join",
                          "stream_stream_join_outer",
                          "stream_sessionize", "stream_to_bronze",
-                         "stream_upsert", "stream_dedup_fuzzy"]),
+                         "stream_upsert", "stream_dedup_fuzzy",
+                         "stream_quality_gate"]),
 ]
 
 

@@ -88,7 +88,55 @@ def test_expectation_suite_on_lake_flags_only_shipdate(spark, sf_dir):
     assert by_name["lineitem_ship_after_order"] > 0
 
 
-# ------------------------------------------------------------- topics
+def test_stream_quality_gate_iterates_and_passes(spark, sf_dir):
+    """The streaming gate must actually iterate (4 key-range part files +
+    maxFilesPerTrigger=1 → one state version per micro-batch) and, on the
+    clean orders fixture, accumulate zero violations on every check."""
+    import glob
+    import os
+
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["stream_quality_gate"].fn(spark, sf_dir).collect()
+    assert {r["expectation"] for r in rows} == {
+        "orders_orderkey_unique", "orders_custkey_complete",
+        "orders_status_accepted", "orders_totalprice_positive",
+        "orders_custkey_ri"}
+    assert all(r["passed"] and r["metric"] == 0.0 for r in rows)
+    run_dirs = sorted(glob.glob("/root/repo/.tmp/stream_gate/*"),
+                      key=os.path.getmtime)
+    states = glob.glob(os.path.join(run_dirs[-1], "keys_v*"))
+    assert len(states) >= 3, f"expected >=3 micro-batches, got {len(states)}"
+
+
+def test_stream_quality_gate_catches_cross_batch_duplicates(spark,
+                                                            tmp_path):
+    """A duplicate key whose copies arrive in DIFFERENT micro-batches is
+    invisible to any per-batch counter; the keyed state must catch it.
+    Re-run the gate's own foreachBatch body over two hand-built batches
+    with a cross-batch duplicate and a planted orphan."""
+    from pyspark.sql import functions as F
+
+    b0 = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (2, 10, "F", 6.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double")
+    b1 = spark.createDataFrame(
+        [(1, 10, "O", 5.0),      # duplicate of batch-0's key 1
+         (3, 99, "P", 7.0)],     # orphan custkey
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double")
+    keys = None
+    for bdf in (b0, b1):
+        k = bdf.groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        keys = k if keys is None else (
+            keys.unionByName(k).groupBy("o_orderkey")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    dup = keys.agg((F.sum("cnt") - F.count(F.lit(1)))
+                   .cast("double").alias("d")).first()["d"]
+    assert dup == 1.0, "cross-batch duplicate must be counted exactly once"
 def test_topic_model_per_doc_artifact(spark, sf_dir):
     """The per-document output is a total partition with a valid argmax:
     every doc scored once, topic_id in [0,k), weight = max of a
