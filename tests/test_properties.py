@@ -122,3 +122,27 @@ def test_knn_batch_lexsort_tiebreak_matches_sql_ordering(pairs):
     lex = list(np.lexsort((ids, -sims)))
     ref = sorted(range(len(pairs)), key=lambda i: (-sims[i], ids[i]))
     assert lex == ref
+
+
+finite_f32 = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+@given(st.lists(finite_f32, min_size=1, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_int8_quantize_formula_invariants(xs):
+    """The int8 codec formula (vector_store.quantize_int8 and its DuckDB
+    oracle compute exactly this in doubles): codes never escape
+    [-127, 127] — floor(x/scale + 0.5) cannot reach ±128 because
+    |x/scale| ≤ 127(1+ulp) — and reconstruction stays within the
+    half-step bound the oracle's recon_ok boolean asserts."""
+    import numpy as np
+
+    x = np.asarray(xs, dtype=np.float32).astype(np.float64)
+    scale = float(np.max(np.abs(x))) / 127.0
+    if scale == 0.0 or not math.isfinite(scale):
+        # all-zero vector → all-zero code by the CASE guard; infinite
+        # scale (|x| near float32 max) is outside the embedding domain
+        return
+    q = np.floor(x / scale + 0.5)
+    assert (np.abs(q) <= 127).all(), (xs, q)
+    assert (np.abs(x - q * scale) <= scale * 0.5000001 + 1e-18).all()
