@@ -556,3 +556,69 @@ def ext_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "asset_id", "frame_no", "width", "height",
         F.md5(C("pixels")).alias("pixel_md5"), "pixel_sum")
+
+
+# --- perceptual image dedup (average hash) ---------------------------
+# The multimodal twin of the text fuzzy-dedup family: near-duplicate
+# IMAGE detection via aHash (mean-threshold bit signature — the classic
+# pHash-family baseline). Exact-duplicate frames collide by construction
+# (identical pixels ⇒ identical hash), and brightness-shifted copies
+# collide too (the mean shifts with them) — the fixture genuinely
+# contains 23 duplicate pixel patterns, so the op deduplicates for real.
+# Scale shape: hash is a map-only Arrow kernel over the decoded PNGs;
+# grouping is ONE shuffle on the 64-bit signature (hash-groupBy, the
+# same shape as ext_dedup_exact) — no pairwise anything.
+
+_AHASH_N = _SRC_W * _SRC_W  # 64 pixels → 64-bit signature
+_AHASH_PX = [f"ascii(substring(text, ({p} % length(text)) + 1, 1))"
+             for p in range(_AHASH_N)]
+# mean = Σpx / 64.0 is EXACT in doubles (integer sum ≤ 64·255, divided
+# by a power of two), so the strict > threshold is cross-engine exact.
+_AHASH_BITS = " || ".join(
+    f"CASE WHEN {px} > __mean THEN '1' ELSE '0' END" for px in _AHASH_PX)
+
+
+@op("ext_image_dedup_ahash", oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS asset_id, text,
+               ({" + ".join(_AHASH_PX)}) / 64.0 AS __mean
+        FROM documents
+    ),
+    px AS (SELECT asset_id, {_AHASH_BITS} AS ahash FROM m),
+    g AS (
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_same,
+               MIN(asset_id) AS __canon
+        FROM px GROUP BY ahash
+    )
+    SELECT asset_id, ahash, n_same,
+           asset_id = __canon AS is_canonical
+    FROM px JOIN g USING (ahash)
+""")
+def ext_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection over the real-PNG asset fixture:
+    decode each 8×8 greyscale PNG, compute its 64-bit average-hash
+    (bit i = pixel i strictly above the image mean), then hash-group —
+    each signature group keeps its lowest asset_id as canonical. The
+    oracle recomputes every pixel, the exact mean, every threshold bit,
+    and the group stats straight from the text arithmetic, so parity
+    pins the whole decode→hash→dedup chain value-exactly."""
+    from ..functions.png import decode_png
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, mbytes in zip(pdf["asset_id"], pdf["media"]):
+                w, h, ch, px = decode_png(bytes(mbytes))
+                mean = sum(px) / 64.0
+                bits = "".join("1" if b > mean else "0" for b in px)
+                rows.append((int(a), bits))
+            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
+
+    hashed = make_png_assets(spark, sf_dir).mapInPandas(
+        ahash, schema="asset_id bigint, ahash string")
+    groups = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_same"),
+        F.min("asset_id").alias("__canon"))
+    return (hashed.join(groups, "ahash")
+            .select("asset_id", "ahash", "n_same",
+                    (C("asset_id") == C("__canon")).alias("is_canonical")))

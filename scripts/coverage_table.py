@@ -87,7 +87,7 @@ SECTIONS = [
         "ext_training_prep_pipeline", "ext_temperature_sample",
         "ext_upsample_repeat",
         "ext_expectations", "ext_topic_model", "ext_embedding_quantize",
-        "ext_ann_int8",
+        "ext_ann_int8", "ext_image_dedup_ahash",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",

@@ -137,6 +137,43 @@ def test_stream_quality_gate_catches_cross_batch_duplicates(spark,
     dup = keys.agg((F.sum("cnt") - F.count(F.lit(1)))
                    .cast("double").alias("d")).first()["d"]
     assert dup == 1.0, "cross-batch duplicate must be counted exactly once"
+
+
+def test_image_dedup_ahash_finds_fixture_duplicates(spark, sf_dir):
+    """The fixture contains duplicate pixel patterns by construction; the
+    aHash dedup must group them: every group keeps exactly one canonical
+    (its lowest asset_id), non-canonicals exist, and group sizes add up."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_image_dedup_ahash"].fn(spark, sf_dir).collect()
+    assert len(rows) == 500
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["ahash"], []).append(r)
+    assert any(len(g) > 1 for g in groups.values()), \
+        "fixture duplicates must collide"
+    for g in groups.values():
+        assert all(r["n_same"] == len(g) for r in g)
+        canon = [r for r in g if r["is_canonical"]]
+        assert len(canon) == 1
+        assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
+
+
+def test_ahash_is_brightness_invariant():
+    """The aHash property the op relies on: a uniform brightness shift
+    moves the mean with the pixels, so the signature is unchanged —
+    exact duplicates AND exposure-shifted copies collide."""
+    def ahash(px):
+        mean = sum(px) / 64.0
+        return "".join("1" if b > mean else "0" for b in px)
+
+    base = [(i * 37) % 200 for i in range(64)]
+    shifted = [b + 40 for b in base]
+    assert ahash(base) == ahash(shifted)
+    assert ahash(base) != ahash(list(reversed(base)))
+
+
 def test_topic_model_per_doc_artifact(spark, sf_dir):
     """The per-document output is a total partition with a valid argmax:
     every doc scored once, topic_id in [0,k), weight = max of a
