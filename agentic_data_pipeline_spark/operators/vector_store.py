@@ -68,7 +68,9 @@ enc AS (
            END AS q
     FROM s
 )
-SELECT vec_id, scale, q,
+SELECT vec_id, scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
        CAST(len(list_filter(q, v -> abs(v) = 127)) AS INT) AS n_saturated,
        list_max(list_transform(
            list_zip(x, q),
@@ -80,11 +82,25 @@ FROM enc
 
 @op("ext_embedding_quantize", oracle=_QUANTIZE_ORACLE)
 def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-quantize the embeddings table (see quantize_int8): the full
-    per-vector code array, its scale, the saturation count, and the
-    codec error-bound check — hashed value-exact against the DuckDB
-    replay of the identical arithmetic."""
-    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    """Int8-quantize the embeddings table (see quantize_int8), registered
+    as per-vector scalar digests of the code array: its sum, L1 mass,
+    saturation count, the scale, and the codec error-bound boolean —
+    each hashed value-exactly against the DuckDB replay of the identical
+    arithmetic. The digests are integer-exact folds of every code
+    element, so a single wrong q anywhere flips the hash. (The REGISTERED
+    row stays array-free because the driver's pandas canonicalizer
+    rejects complex columns — tests/test_output_types.py; pipelines use
+    quantize_int8 directly for the full code arrays, and ext_ann_int8
+    searches them end-to-end.)"""
+    q = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.aggregate(C("q"), F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("q_sum"),
+        F.aggregate(C("q"), F.lit(0).cast("long"),
+                    lambda a, v: a + F.abs(v)).alias("q_l1"),
+        C("n_saturated").cast("int").alias("n_saturated"),
+        "recon_ok")
 
 
 # --- search over the int8 codes -------------------------------------

@@ -174,6 +174,45 @@ def test_ahash_is_brightness_invariant():
     assert ahash(base) != ahash(list(reversed(base)))
 
 
+def test_audio_fingerprint_dedup_groups_fixture_duplicates(spark, sf_dir):
+    """Duplicate waveforms (identical 64-byte pixel/sample patterns exist
+    in the fixture) must collide; group invariants mirror the image op."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_audio_dedup_fingerprint"].fn(spark, sf_dir).collect()
+    assert len(rows) == 500
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["fingerprint"], []).append(r)
+    assert any(len(g) > 1 for g in groups.values())
+    for g in groups.values():
+        assert all(r["n_same"] == len(g) for r in g)
+        canon = [r for r in g if r["is_canonical"]]
+        assert len(canon) == 1
+        assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
+
+
+def test_audio_fingerprint_is_gain_invariant():
+    """Uniform gain scales every window energy and the mean together, so
+    the signature is unchanged — the audio analogue of aHash's
+    brightness invariance."""
+    def fingerprint(samples, win=32):
+        step = len(samples) // win
+        es = [sum(v * v for v in samples[w * step:(w + 1) * step])
+              for w in range(win)]
+        mean = sum(es) / float(win)
+        return "".join("1" if e > mean else "0" for e in es)
+
+    base = [((i * 73) % 255 - 128) * 256 for i in range(64)]
+    doubled = [v * 2 for v in base]
+    assert fingerprint(base) == fingerprint(doubled)
+    # an asymmetric energy profile must produce a different signature
+    # (loud first half vs loud second half)
+    loud_head = [20000] * 32 + [100] * 32
+    assert fingerprint(loud_head) != fingerprint(list(reversed(loud_head)))
+
+
 def test_topic_model_per_doc_artifact(spark, sf_dir):
     """The per-document output is a total partition with a valid argmax:
     every doc scored once, topic_id in [0,k), weight = max of a
