@@ -712,3 +712,77 @@ def ext_audio_dedup_fingerprint(spark: SparkSession,
     return (fp.join(groups, "fingerprint")
             .select("asset_id", "fingerprint", "n_same",
                     (C("asset_id") == C("__canon")).alias("is_canonical")))
+
+
+@op("ext_video_dedup_scenehash", oracle=f"""
+    WITH px AS (
+        SELECT doc_id, f.f AS f, p.p AS p,
+               ascii(substring(text,
+                     ((p.p + {_VID_SHIFT} * f.f) % length(text)) + 1, 1))
+                   AS v
+        FROM documents,
+             UNNEST(range({_VID_FRAMES})) AS f(f),
+             UNNEST(range({_VID_SIDE * _VID_SIDE})) AS p(p)
+    ),
+    fr AS (
+        SELECT doc_id, f,
+               string_agg(CASE WHEN v > mean_v THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS fh
+        FROM (SELECT *, SUM(v) OVER (PARTITION BY doc_id, f)
+                            / {_VID_SIDE * _VID_SIDE}.0 AS mean_v
+              FROM px)
+        GROUP BY doc_id, f
+    ),
+    sig AS (
+        SELECT doc_id AS asset_id,
+               string_agg(fh, '' ORDER BY f) AS scene_hash
+        FROM fr GROUP BY doc_id
+    ),
+    g AS (
+        SELECT scene_hash, CAST(COUNT(*) AS BIGINT) AS n_same,
+               MIN(asset_id) AS __canon
+        FROM sig GROUP BY scene_hash
+    )
+    SELECT asset_id, scene_hash, n_same,
+           asset_id = __canon AS is_canonical
+    FROM sig JOIN g USING (scene_hash)
+""")
+def ext_video_dedup_scenehash(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection — the third modality of the
+    perceptual-dedup family (image: ext_image_dedup_ahash, audio:
+    ext_audio_dedup_fingerprint). Each PNG-stream video is split by
+    codec framing, every frame is decoded and reduced to its 64-bit
+    average-hash, and the ordered concatenation of frame hashes is the
+    scene signature — so two videos collide iff every frame is a
+    perceptual match in order (same-frames-different-order stays
+    distinct). Splitting, decoding, and hashing happen in ONE map-only
+    Arrow kernel per asset (the frames never leave the partition);
+    grouping is one shuffle on the signature. The oracle recomputes
+    every frame's pixels, mean, threshold bits, and the group stats
+    from the text arithmetic — value-exact through the whole
+    encode→split→decode→hash→dedup chain."""
+    from ..functions.png import decode_png, split_png_stream
+
+    def scene_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = _VID_SIDE * _VID_SIDE
+        for pdf in batches:
+            rows = []
+            for a, m in zip(pdf["asset_id"], pdf["media"]):
+                parts = []
+                for fb in split_png_stream(bytes(m)):
+                    w, h, ch, px = decode_png(fb)
+                    mean = sum(px) / float(n)
+                    parts.append("".join("1" if b > mean else "0"
+                                         for b in px))
+                rows.append((int(a), "".join(parts)))
+            yield pd.DataFrame(rows, columns=["asset_id", "scene_hash"])
+
+    sig = make_png_video(spark, sf_dir).mapInPandas(
+        scene_hash, schema="asset_id bigint, scene_hash string")
+    groups = sig.groupBy("scene_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_same"),
+        F.min("asset_id").alias("__canon"))
+    return (sig.join(groups, "scene_hash")
+            .select("asset_id", "scene_hash", "n_same",
+                    (C("asset_id") == C("__canon")).alias("is_canonical")))

@@ -213,6 +213,28 @@ def test_audio_fingerprint_is_gain_invariant():
     assert fingerprint(loud_head) != fingerprint(list(reversed(loud_head)))
 
 
+def test_video_dedup_scenehash_order_sensitivity_and_groups(spark, sf_dir):
+    """Scene signatures are ORDERED frame hashes: duplicate streams
+    collide (the fixture's duplicate texts yield identical streams),
+    group invariants hold, and every signature is 6 frames × 64 bits."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_video_dedup_scenehash"].fn(spark, sf_dir).collect()
+    assert len(rows) == 500
+    groups: dict[str, list] = {}
+    for r in rows:
+        assert len(r["scene_hash"]) == 6 * 64
+        assert set(r["scene_hash"]) <= {"0", "1"}
+        groups.setdefault(r["scene_hash"], []).append(r)
+    assert any(len(g) > 1 for g in groups.values())
+    for g in groups.values():
+        assert all(r["n_same"] == len(g) for r in g)
+        canon = [r for r in g if r["is_canonical"]]
+        assert len(canon) == 1
+        assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
+
+
 def test_topic_model_per_doc_artifact(spark, sf_dir):
     """The per-document output is a total partition with a valid argmax:
     every doc scored once, topic_id in [0,k), weight = max of a
