@@ -216,3 +216,70 @@ def rule_top_performers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("o_totalprice").alias("sales"))
     )
     return top_performers(sales, "sales", frac=0.10).select("custkey", "sales")
+
+
+@op("ext_winsorize", oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.01), 6) AS lb,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS ub
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.lb, b.ub,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.l_extendedprice < b.lb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN l.l_extendedprice > b.ub THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           ROUND(
+               (CAST(SUM(CASE WHEN l.l_extendedprice >= b.lb
+                               AND l.l_extendedprice <= b.ub
+                              THEN CAST(ROUND(l.l_extendedprice * 100, 0)
+                                        AS BIGINT)
+                              ELSE 0 END) AS DOUBLE) / 100.0
+                + SUM(CASE WHEN l.l_extendedprice < b.lb
+                           THEN 1 ELSE 0 END) * b.lb
+                + SUM(CASE WHEN l.l_extendedprice > b.ub
+                           THEN 1 ELSE 0 END) * b.ub)
+               / COUNT(*), 6) AS winsorized_mean
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.lb, b.ub
+    ORDER BY l.l_returnflag
+""")
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust sibling of rule_remove_outliers: instead
+    of DROPPING |z|>3 rows (which biases sums), CLIP the feature at its
+    exact per-group 1st/99th percentiles, the standard feature-prep move
+    before training on heavy-tailed numerics. Emits per-group bounds,
+    clip counts, and the winsorized mean.
+
+    Two-pass plan, both group-parallel: pass 1 computes exact interpolated
+    percentiles (one sort per group — the price of a reproducible answer,
+    same stance as q_percentile; percentile_approx can't hash-match);
+    pass 2 re-scans with the ≤|groups|-row bounds table broadcast and
+    clips/aggregates map-side. Determinism: bounds are ROUND(,6) on both
+    engines (the raw interpolated double is last-ulp-identical anyway —
+    q_percentile's pinned pair); clip comparisons see identical doubles;
+    the winsorized sum is assembled interior-cents-exact + clipcount×bound
+    in a fixed evaluation order, so the final mean hashes exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.01)), 6).alias("lb"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("ub"))
+    x = C("l_extendedprice")
+    joined = li.select("l_returnflag", "l_extendedprice") \
+        .join(F.broadcast(bounds), "l_returnflag")
+    interior = F.sum(
+        F.when((x >= C("lb")) & (x <= C("ub")), cents(x))
+        .otherwise(F.lit(0).cast("bigint"))).cast("double") / 100.0
+    n_low = F.sum(F.when(x < C("lb"), 1).otherwise(0)).cast("bigint")
+    n_high = F.sum(F.when(x > C("ub"), 1).otherwise(0)).cast("bigint")
+    return (joined.groupBy("l_returnflag", "lb", "ub")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 n_low.alias("n_clipped_low"),
+                 n_high.alias("n_clipped_high"),
+                 F.round((interior
+                          + n_low * C("lb")
+                          + n_high * C("ub")) / F.count(F.lit(1)), 6)
+                 .alias("winsorized_mean"))
+            .orderBy("l_returnflag"))

@@ -235,6 +235,38 @@ def test_video_dedup_scenehash_order_sensitivity_and_groups(spark, sf_dir):
         assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
 
 
+def test_winsorize_semantics_vs_numpy(spark, sf_dir):
+    """Winsorized mean must equal the numpy re-derivation: clip at the
+    op's own per-group bounds, average, compare at the op's 6dp rounding;
+    clip counts must match exactly."""
+    import numpy as np
+
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = {r["l_returnflag"]: r
+            for r in OPS["ext_winsorize"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_extendedprice").collect()
+    by_flag: dict[str, list[float]] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            r["l_extendedprice"])
+    assert set(rows) == set(by_flag)
+    for flag, vals in by_flag.items():
+        x = np.asarray(vals)
+        r = rows[flag]
+        assert r["n_rows"] == len(x)
+        assert r["lb"] < r["ub"]
+        assert r["n_clipped_low"] == int((x < r["lb"]).sum())
+        assert r["n_clipped_high"] == int((x > r["ub"]).sum())
+        # clipping must touch the tails but never the bulk
+        assert 0 < r["n_clipped_low"] + r["n_clipped_high"] < 0.05 * len(x)
+        clipped = np.clip(x, r["lb"], r["ub"])
+        assert abs(r["winsorized_mean"] - clipped.mean()) < 1e-4
+
+
 def test_topic_model_per_doc_artifact(spark, sf_dir):
     """The per-document output is a total partition with a valid argmax:
     every doc scored once, topic_id in [0,k), weight = max of a
