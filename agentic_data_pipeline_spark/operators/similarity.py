@@ -1231,3 +1231,49 @@ def ext_knn_graph_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM op."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_batch(emb, k=3)
+
+
+@op("ext_decontaminate_embedding", oracle=f"""
+    SELECT c.vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           {_duck_trunc6(f"MAX({_duck_cos('c.embedding', 'e.embedding')})")}
+               AS max_sim
+    FROM embeddings c
+    JOIN embeddings e
+      ON e.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+    WHERE {_duck_cos('c.embedding', 'e.embedding')} > 0.3
+    GROUP BY c.vec_id
+""")
+def ext_decontaminate_embedding(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding sibling of the
+    n-gram op (ext_decontaminate, dedup.py): flag corpus vectors whose
+    cosine to ANY held-out eval vector exceeds the threshold. N-gram
+    overlap misses paraphrased leakage; embedding similarity is the
+    second filter production decontamination stacks on top (every 50th
+    vector stands in for the benchmark set, same split convention as the
+    n-gram op; threshold 0.3 sits in the near-orthogonal fixture's top
+    tail — 48 of 490 corpus vectors flag at sf0.01).
+
+    Shape at scale: benchmarks are MBs, corpora are TBs — the eval side
+    BROADCASTS and the corpus probes it map-side (one pass, no
+    corpus-sized shuffle); the per-vector agg shuffles only the flagged
+    pairs, which contamination keeps rare. Emits (vec_id, n_eval_hits,
+    max_sim) per flagged vector, hash-exact against the DuckDB replay."""
+    from ..functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (emb.filter(C("vec_id") % 50 != 0)
+              .select("vec_id", "embedding",
+                      l2_norm(C("embedding")).alias("__n")))
+    ev = (emb.filter(C("vec_id") % 50 == 0)
+          .select(C("vec_id").alias("eval_id"),
+                  C("embedding").alias("ev"),
+                  l2_norm(C("embedding")).alias("__en")))
+    sim = dot(C("embedding"), C("ev")) / (C("__n") * C("__en"))
+    return (corpus.crossJoin(F.broadcast(ev))
+            .filter(sim > 0.3)
+            .select("vec_id", sim.alias("__s"))
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+                 _trunc6(F.max("__s")).alias("max_sim")))

@@ -235,6 +235,37 @@ def test_video_dedup_scenehash_order_sensitivity_and_groups(spark, sf_dir):
         assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
 
 
+def test_decontaminate_embedding_matches_numpy(spark, sf_dir):
+    """Flagged set must equal the numpy brute-force: corpus vectors whose
+    max cosine to the eval split (vec_id % 50 == 0) exceeds 0.3, with the
+    exact hit counts."""
+    import numpy as np
+
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    got = {r["vec_id"]: r["n_eval_hits"]
+           for r in OPS["ext_decontaminate_embedding"].fn(
+               spark, sf_dir).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings").collect()}
+    ev = {k: v for k, v in vecs.items() if k % 50 == 0}
+    expect = {}
+    for vid, v in vecs.items():
+        if vid % 50 == 0:
+            continue
+        hits = 0
+        for e in ev.values():
+            sim = (v @ e) / (np.linalg.norm(v) * np.linalg.norm(e))
+            if sim > 0.3:
+                hits += 1
+        if hits:
+            expect[vid] = hits
+    assert got == expect
+    assert expect, "threshold must flag some contamination on the fixture"
+
+
 def test_winsorize_semantics_vs_numpy(spark, sf_dir):
     """Winsorized mean must equal the numpy re-derivation: clip at the
     op's own per-group bounds, average, compare at the op's 6dp rounding;
