@@ -487,3 +487,37 @@ def ext_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),
                  F.min("doc_id").alias("min_doc")))
+
+
+K_ANON = 10
+
+
+@op("ext_k_anonymity", oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           1.0 / COUNT(*) AS reident_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < {K_ANON}
+""")
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the third privacy op (redaction:
+    ext_pii_redact, key protection: ext_pseudonymize, re-identification
+    risk: this). A released table is k-anonymous over its
+    quasi-identifiers iff every QI combination covers ≥ k rows; smaller
+    groups are re-identification risks and must be suppressed or
+    generalized before release. Audits customer over
+    (c_nationkey, c_mktsegment) at k={K_ANON}: one row per VIOLATING
+    group with its size and re-identification risk 1/n (an exact
+    int-reciprocal, cross-engine identical). 35 of 125 groups flag at
+    sf0.01 — the gate demonstrably bites.
+
+    Scale shape: one hash-groupBy on the QI tuple with map-side partial
+    counts + a HAVING filter — the ext_dedup_exact shape; output is
+    bounded by the QI-combination count, not the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+            .filter(C("group_n") < K_ANON)
+            .select("c_nationkey", "c_mktsegment", "group_n",
+                    (F.lit(1.0) / C("group_n")).alias("reident_risk")))

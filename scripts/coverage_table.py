@@ -89,7 +89,7 @@ SECTIONS = [
         "ext_expectations", "ext_topic_model", "ext_embedding_quantize",
         "ext_ann_int8", "ext_image_dedup_ahash",
         "ext_audio_dedup_fingerprint", "ext_video_dedup_scenehash",
-        "ext_winsorize", "ext_decontaminate_embedding",
+        "ext_winsorize", "ext_decontaminate_embedding", "ext_k_anonymity",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",

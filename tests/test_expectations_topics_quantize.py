@@ -235,6 +235,30 @@ def test_video_dedup_scenehash_order_sensitivity_and_groups(spark, sf_dir):
         assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
 
 
+def test_k_anonymity_flags_exactly_the_small_groups(spark, sf_dir):
+    """Violations = exactly the QI groups under k, with exact sizes and
+    risk 1/n; no group at or above k may appear."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.prep import K_ANON
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_k_anonymity"].fn(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_nationkey", "c_mktsegment").collect()
+    sizes: dict[tuple, int] = {}
+    for r in cust:
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        sizes[key] = sizes.get(key, 0) + 1
+    expect = {k: n for k, n in sizes.items() if n < K_ANON}
+    got = {(r["c_nationkey"], r["c_mktsegment"]): r["group_n"]
+           for r in rows}
+    assert got == expect
+    assert expect, "fixture must contain violating groups"
+    for r in rows:
+        assert r["reident_risk"] == 1.0 / r["group_n"]
+
+
 def test_decontaminate_embedding_matches_numpy(spark, sf_dir):
     """Flagged set must equal the numpy brute-force: corpus vectors whose
     max cosine to the eval split (vec_id % 50 == 0) exceeds 0.3, with the
