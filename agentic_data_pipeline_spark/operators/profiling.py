@@ -460,3 +460,77 @@ def ext_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)")
+
+
+# --- distribution drift (PSI) ----------------------------------------
+PSI_LO = 0.0
+PSI_WIDTH = 50_000.0   # o_totalprice spans [~1e3, 5e5) → 10 bins
+PSI_BINS = 10
+
+
+@op("ext_drift_psi", oracle=f"""
+    WITH binned AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - {PSI_LO})
+                                         / {PSI_WIDTH}) AS INT), 0),
+                     {PSI_BINS - 1}) AS bin,
+               o_orderkey % 2 = 0 AS is_ref
+        FROM orders
+    ),
+    cnt AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ref,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cnt
+    )
+    SELECT bin, n_ref, n_cur,
+           FLOOR((((n_cur + 1) / (t_cur + {PSI_BINS}.0)
+                   - (n_ref + 1) / (t_ref + {PSI_BINS}.0))
+                  * LN(((n_cur + 1) / (t_cur + {PSI_BINS}.0))
+                       / ((n_ref + 1) / (t_ref + {PSI_BINS}.0))))
+                 * 1e6 + 1e-3) / 1e6 AS psi_term
+    FROM cnt, tot
+    ORDER BY bin
+""")
+def ext_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection via the Population Stability Index —
+    the standard production gate for "did this feature's distribution
+    move between the reference window and the current one" (PSI > 0.2 =
+    retrain/alert). Reference vs current stand-in: even vs odd order
+    keys (two interleaved samples of the same distribution, so the
+    fixture's PSI is near zero — a shifted window would light up).
+
+    One binned hash-aggregate over the fact table (the q_histogram
+    shape: bins are fixed constants, ≤{PSI_BINS} rows cross the final
+    exchange) + a 1-row totals broadcast. Laplace smoothing (+1 per
+    bin) keeps empty bins finite. Determinism: bin assignment and the
+    smoothed shares are exact IEEE ops; the single LN per bin is the
+    one transcendental — engines may differ in its last ulp, which the
+    6dp floor-truncation's scaled epsilon absorbs (same construction as
+    _trunc6 in similarity.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.greatest(F.floor((C("o_totalprice") - PSI_LO) / PSI_WIDTH)
+                   .cast("int"), F.lit(0)),
+        F.lit(PSI_BINS - 1))
+    cnt = (orders
+           .select(bin_col.alias("bin"),
+                   (C("o_orderkey") % 2 == 0).alias("is_ref"))
+           .groupBy("bin")
+           .agg(F.sum(F.when(C("is_ref"), 1).otherwise(0)).cast("bigint")
+                .alias("n_ref"),
+                F.sum(F.when(C("is_ref"), 0).otherwise(1)).cast("bigint")
+                .alias("n_cur")))
+    tot = cnt.agg(F.sum("n_ref").alias("t_ref"),
+                  F.sum("n_cur").alias("t_cur"))
+    p_ref = (C("n_ref") + 1) / (C("t_ref") + float(PSI_BINS))
+    p_cur = (C("n_cur") + 1) / (C("t_cur") + float(PSI_BINS))
+    psi = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("bin", "n_ref", "n_cur",
+                    (F.floor(psi * 1e6 + 1e-3) / 1e6).alias("psi_term"))
+            .orderBy("bin"))

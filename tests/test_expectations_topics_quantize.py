@@ -235,6 +235,38 @@ def test_video_dedup_scenehash_order_sensitivity_and_groups(spark, sf_dir):
         assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
 
 
+def test_drift_psi_near_zero_on_interleaved_samples_and_detects_shift(
+        spark, sf_dir):
+    """Even/odd order keys are two samples of the SAME distribution, so
+    total PSI must sit under the 0.1 'no drift' threshold; and the PSI
+    formula (re-derived in Python) must light up past 0.2 on a genuinely
+    shifted window."""
+    import math
+
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_drift_psi"].fn(spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == sorted({r["bin"] for r in rows})
+    total = sum(r["psi_term"] for r in rows)
+    assert total < 0.1, f"same-distribution PSI should be ~0, got {total}"
+
+    def psi(ref_counts, cur_counts):
+        t_r, t_c = sum(ref_counts), sum(cur_counts)
+        k = len(ref_counts)
+        out = 0.0
+        for nr, nc in zip(ref_counts, cur_counts):
+            p = (nr + 1) / (t_r + k)
+            q = (nc + 1) / (t_c + k)
+            out += (q - p) * math.log(q / p)
+        return out
+
+    # a hard shift (mass moves two bins right) must trip the 0.2 alarm
+    ref = [100, 300, 400, 150, 50]
+    cur = [10, 50, 150, 400, 390]
+    assert psi(ref, cur) > 0.2
+
+
 def test_k_anonymity_flags_exactly_the_small_groups(spark, sf_dir):
     """Violations = exactly the QI groups under k, with exact sizes and
     risk 1/n; no group at or above k may appear."""
