@@ -1277,3 +1277,79 @@ def ext_decontaminate_embedding(spark: SparkSession,
             .groupBy("vec_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
                  _trunc6(F.max("__s")).alias("max_sim")))
+
+
+@op("ext_contrastive_triplets", oracle=f"""
+    WITH knn AS ({_KNN_GRAPH_ORACLE}),
+    pos AS (
+        SELECT vec_id AS a_id, neighbor_id AS pos_id, sim AS pos_sim
+        FROM knn WHERE rank = 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    trip AS (
+        SELECT a_id, pos_id, pos_sim,
+               CASE WHEN (a_id * 7919 + 13) % n <> a_id
+                     AND (a_id * 7919 + 13) % n <> pos_id
+                    THEN (a_id * 7919 + 13) % n
+                    WHEN ((a_id * 7919 + 13) % n + 1) % n <> a_id
+                     AND ((a_id * 7919 + 13) % n + 1) % n <> pos_id
+                    THEN ((a_id * 7919 + 13) % n + 1) % n
+                    ELSE ((a_id * 7919 + 13) % n + 2) % n
+               END AS neg_id
+        FROM pos, nn
+    )
+    SELECT t.a_id AS anchor_id, t.pos_id AS positive_id, t.pos_sim,
+           t.neg_id AS negative_id,
+           {_duck_trunc6(_duck_cos('a.embedding', 'b.embedding'))}
+               AS neg_sim
+    FROM trip t
+    JOIN embeddings a ON a.vec_id = t.a_id
+    JOIN embeddings b ON b.vec_id = t.neg_id
+""")
+def ext_contrastive_triplets(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: one (anchor, positive, negative)
+    triplet per vector — the dataset-construction op for training
+    embedding models (SimCSE/contrastive-retriever style). Positive =
+    the anchor's nearest in-block neighbor (rank-1 edge of the
+    hash-green kNN graph, via the BLAS batch path); negative = a
+    deterministic pseudo-random corpus vector from an affine hash of the
+    anchor id, stepped past self/positive collisions (a 3-candidate CASE
+    chain — c0..c2 are distinct, so one is always free).
+
+    Scale shape: positives ride the existing blocked kNN construction;
+    negatives are O(1) arithmetic per anchor + ONE hash-join on the
+    computed id (no sampling shuffle, no RNG state); both similarity
+    columns are the exact cosine fold. At 100 TB this is the standard
+    one-pass mining topology: graph edges + computed-key join."""
+    from ..functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    pos = (knn_graph_batch(emb, k=1)
+           .select(C("vec_id").alias("a_id"),
+                   C("neighbor_id").alias("pos_id"),
+                   C("sim").alias("pos_sim")))
+    c0 = (C("a_id") * 7919 + 13) % n
+    c1 = (c0 + 1) % n
+    c2 = (c0 + 2) % n
+
+    def free(c):
+        return (c != C("a_id")) & (c != C("pos_id"))
+
+    trip = pos.select(
+        "a_id", "pos_id", "pos_sim",
+        F.when(free(c0), c0).when(free(c1), c1).otherwise(c2)
+        .alias("neg_id"))
+    a = emb.select(C("vec_id").alias("a_id"),
+                   C("embedding").alias("a_vec"),
+                   l2_norm(C("embedding")).alias("a_n"))
+    b = emb.select(C("vec_id").alias("neg_id"),
+                   C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    neg_sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
+    return (trip.join(a, "a_id").join(b, "neg_id")
+            .select(C("a_id").alias("anchor_id"),
+                    C("pos_id").alias("positive_id"), "pos_sim",
+                    C("neg_id").alias("negative_id"),
+                    _trunc6(neg_sim).alias("neg_sim")))

@@ -71,7 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_ann_int8", "stream_quality_gate", "ext_image_dedup_ahash",
     "ext_audio_dedup_fingerprint", "ext_video_dedup_scenehash",
     "ext_winsorize", "ext_decontaminate_embedding", "ext_k_anonymity",
-    "ext_drift_psi",
+    "ext_drift_psi", "ext_contrastive_triplets",
     # --- changed/new in r6: semdedup's k is now corpus-derived (was
     # pinned to the sf0.01 fixture), the approximate family gained
     # bound-checked oracles, and the snapshot/streaming surfaces grew.

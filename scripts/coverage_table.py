@@ -90,7 +90,7 @@ SECTIONS = [
         "ext_ann_int8", "ext_image_dedup_ahash",
         "ext_audio_dedup_fingerprint", "ext_video_dedup_scenehash",
         "ext_winsorize", "ext_decontaminate_embedding", "ext_k_anonymity",
-        "ext_drift_psi",
+        "ext_drift_psi", "ext_contrastive_triplets",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",

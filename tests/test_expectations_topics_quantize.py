@@ -235,6 +235,28 @@ def test_video_dedup_scenehash_order_sensitivity_and_groups(spark, sf_dir):
         assert canon[0]["asset_id"] == min(r["asset_id"] for r in g)
 
 
+def test_contrastive_triplets_are_valid_training_pairs(spark, sf_dir):
+    """One triplet per vector; anchor, positive, negative all distinct;
+    the positive is genuinely closer than the negative for the
+    overwhelming majority of anchors (the margin property contrastive
+    training needs)."""
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_contrastive_triplets"].fn(spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert len({r["anchor_id"] for r in rows}) == 500
+    margin_ok = 0
+    for r in rows:
+        assert r["anchor_id"] != r["positive_id"]
+        assert r["anchor_id"] != r["negative_id"]
+        assert r["positive_id"] != r["negative_id"]
+        if r["pos_sim"] > r["neg_sim"]:
+            margin_ok += 1
+    assert margin_ok >= 0.95 * len(rows), \
+        f"only {margin_ok}/500 triplets have pos_sim > neg_sim"
+
+
 def test_drift_psi_near_zero_on_interleaved_samples_and_detects_shift(
         spark, sf_dir):
     """Even/odd order keys are two samples of the SAME distribution, so
