@@ -60,9 +60,13 @@ def expectation_suite(orders: DataFrame, customer: DataFrame,
 
     # orders → customer referential integrity: broadcast anti-join
     # (customer is the dimension side; at 100 TB it is still the small
-    # side of this check by construction).
-    o_ri = (orders.join(F.broadcast(customer.select("c_custkey")),
-                        C("o_custkey") == C("c_custkey"), "left_anti")
+    # side of this check by construction). NULL probe keys are excluded
+    # here — completeness already counts them — so the Spark anti-join
+    # and the SQL NOT IN oracle agree on NULL-bearing data (NOT IN
+    # returns no rows when either side holds a NULL).
+    o_ri = (orders.filter(C("o_custkey").isNotNull())
+            .join(F.broadcast(customer.select("c_custkey")),
+                  C("o_custkey") == C("c_custkey"), "left_anti")
             .agg(F.count(F.lit(1)).cast("double")
                  .alias("orders_custkey_ri")))
 
@@ -134,7 +138,9 @@ WITH o AS (
 o_ri AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS orders_custkey_ri
     FROM orders
-    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey IS NOT NULL)
 ),
 li_local AS (
     SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50

@@ -628,7 +628,7 @@ def ext_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The audio sibling of ext_image_dedup_ahash: near-duplicate WAVEFORM
 # detection via a windowed-energy signature (the shape Shazam-family
 # fingerprints reduce to once the spectral transform is stripped: a
-# per-band energy-vs-mean bit pattern). 16 windows of 4 samples; bit =
+# per-band energy-vs-mean bit pattern). 32 windows of 2 samples; bit =
 # window energy strictly above the track's mean window energy. A uniform
 # GAIN change scales every window energy and the mean together, so the
 # signature is gain-invariant — the audio analogue of aHash's

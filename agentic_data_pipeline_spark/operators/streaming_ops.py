@@ -367,6 +367,12 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("last_ts_us", "last_event_id"))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(run_dir, f"state_v{batch_id}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            # Epoch retry after a committed write: v{batch_id} is
+            # already durable — re-merging would double-count.
+            state["path"] = out
+            return
         agg = (batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max_by(F.struct(C("event_id").alias("last_event_id"),
@@ -376,8 +382,11 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(C("ts_us")).alias("last_ts_us"))
             .select("user_id", "n_events", C("s.last_event_id"),
                     "last_ts_us", C("s.last_event_type"), C("s.last_value")))
-        if state["path"] is not None:
-            prev = batch_df.sparkSession.read.parquet(state["path"])
+        # v{i} reads v{i-1} BY BATCH ID (not a driver "last write"
+        # pointer), so a retried epoch reads the same input version.
+        prev_path = os.path.join(run_dir, f"state_v{batch_id - 1}")
+        if os.path.exists(os.path.join(prev_path, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(prev_path)
             agg = (prev.unionByName(agg).groupBy("user_id")
                    .agg(F.sum("n_events").cast("bigint").alias("n_events"),
                         last.alias("s"),
@@ -385,7 +394,6 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("user_id", "n_events", C("s.last_event_id"),
                            "last_ts_us", C("s.last_event_type"),
                            C("s.last_value")))
-        out = os.path.join(run_dir, f"state_v{batch_id}")
         agg.write.mode("overwrite").parquet(out)
         state["path"] = out
 
@@ -515,7 +523,10 @@ WITH c AS (
 ),
 ri AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS orders_custkey_ri
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey IS NOT NULL)
 ),
 stacked AS (
     SELECT 'orders_orderkey_unique' AS expectation,
@@ -548,9 +559,12 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     - referential integrity is a stream-static broadcast anti-join
       against the customer dim (the standard enrich topology);
     - key uniqueness is the genuinely stateful check: per-key arrival
-      counts merge into a seen-orderkeys state table (same versioned
-      read-modify-write as stream_upsert, idempotent under epoch
-      retry); duplicates = Σcounts − #keys at gate-read time, which a
+      counts merge into a seen-orderkeys state table (versioned
+      read-modify-write where v{batch_id} is derived from the batch id
+      and a committed v{batch_id} short-circuits — so an epoch retry
+      re-reads v{batch_id-1} and re-writes the same v{batch_id},
+      idempotent by construction, not by driver-pointer luck);
+      duplicates = Σcounts − #keys at gate-read time, which a
       per-batch counter cannot compute (a dup's first copy may be in an
       earlier batch).
 
@@ -584,12 +598,24 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate_batch(bdf: DataFrame, batch_id: int) -> None:
         s = bdf.sparkSession
+        c_out = os.path.join(run_dir, f"counters_v{batch_id}")
+        k_out = os.path.join(run_dir, f"keys_v{batch_id}")
+        if (os.path.exists(os.path.join(c_out, "_SUCCESS"))
+                and os.path.exists(os.path.join(k_out, "_SUCCESS"))):
+            # Epoch retry after a durable write: v{batch_id} already
+            # committed; re-merging would double-count. Re-point state
+            # and return — the batch is a no-op, by construction.
+            state["counters"], state["keys"] = c_out, k_out
+            return
 
         def viol(cond):
             return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
 
-        ri = (bdf.join(F.broadcast(customer),
-                       C("o_custkey") == C("c_custkey"), "left_anti")
+        # NULL probe keys excluded (completeness counts them) so the
+        # anti-join agrees with the oracle's NULL-safe NOT IN.
+        ri = (bdf.filter(C("o_custkey").isNotNull())
+              .join(F.broadcast(customer),
+                    C("o_custkey") == C("c_custkey"), "left_anti")
               .agg(F.count(F.lit(1)).cast("double")
                    .alias("orders_custkey_ri")))
         counters = (bdf.agg(
@@ -601,8 +627,14 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(ri)))
         keys = bdf.groupBy("o_orderkey").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        if state["counters"] is not None:
-            prev_c = s.read.parquet(state["counters"])
+        # Previous state is derived from batch_id (v{batch_id-1}), NOT a
+        # driver-side "last write" pointer: a retried epoch therefore
+        # reads the same input version it read the first time, and the
+        # _SUCCESS short-circuit above makes the whole epoch idempotent.
+        prev_c_path = os.path.join(run_dir, f"counters_v{batch_id - 1}")
+        prev_k_path = os.path.join(run_dir, f"keys_v{batch_id - 1}")
+        if os.path.exists(os.path.join(prev_c_path, "_SUCCESS")):
+            prev_c = s.read.parquet(prev_c_path)
             counters = (prev_c.unionByName(counters).agg(
                 F.sum("orders_custkey_complete")
                 .alias("orders_custkey_complete"),
@@ -611,11 +643,9 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("orders_totalprice_positive")
                 .alias("orders_totalprice_positive"),
                 F.sum("orders_custkey_ri").alias("orders_custkey_ri")))
-            prev_k = s.read.parquet(state["keys"])
+            prev_k = s.read.parquet(prev_k_path)
             keys = (prev_k.unionByName(keys).groupBy("o_orderkey")
                     .agg(F.sum("cnt").cast("bigint").alias("cnt")))
-        c_out = os.path.join(run_dir, f"counters_v{batch_id}")
-        k_out = os.path.join(run_dir, f"keys_v{batch_id}")
         counters.write.mode("overwrite").parquet(c_out)
         keys.write.mode("overwrite").parquet(k_out)
         state["counters"], state["keys"] = c_out, k_out

@@ -50,7 +50,13 @@ def fit_topics(docs: DataFrame, k: int = K_TOPICS,
     from pyspark.ml.feature import CountVectorizer
     from pyspark.ml.functions import vector_to_array
 
-    tok = _tokens(docs).select(id_col, "__tokens")
+    # Pin partition layout AND within-partition order before fitting:
+    # CountVectorizer's vocab tie-breaking and online LDA's mini-batch
+    # sampling both depend on partition contents/order, so without this
+    # two fits of the same data in one session can disagree on borderline
+    # docs (observed r7). Hash-repartition + sort is deterministic.
+    tok = (_tokens(docs).select(id_col, "__tokens")
+           .repartition(8, id_col).sortWithinPartitions(id_col))
     cv = CountVectorizer(inputCol="__tokens", outputCol="__features",
                          vocabSize=vocab_cap).fit(tok)
     feats = cv.transform(tok)

@@ -55,9 +55,10 @@ def test_expectation_suite_counts_planted_violations(spark):
         "orders_custkey_complete": 1.0,
         "orders_status_accepted": 1.0,
         "orders_totalprice_positive": 1.0,
-        # two orphan rows: custkey 99 (absent from customer) and the NULL
-        # custkey (equality anti-join never matches NULL)
-        "orders_custkey_ri": 2.0,
+        # one orphan row: custkey 99 (absent from customer). The NULL
+        # custkey is counted by completeness, NOT by RI — both engines
+        # exclude NULL probe keys so the check stays NULL-safe.
+        "orders_custkey_ri": 1.0,
         # lineitem-local checks run on their own scan, so the duplicated
         # orderkey 1 in orders must NOT inflate them: exactly one each
         "lineitem_quantity_range": 1.0,
