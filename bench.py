@@ -107,8 +107,49 @@ REBUILD = {"ext_pagerank", "ext_semdedup", "ext_dedup_clusters_bounded"}
 HEADLINE = CLASSIC + TPCH_REST + HEAVY
 SET_VERSION = "v2"
 
+# Code-fingerprint for the of-record window (r6 verdict item 9): history
+# rows record the git SHA they ran at plus this epoch tag; the of-record
+# median is computed over SAME-EPOCH invocations (so perf fixes don't
+# take dozens of invocations to flush out of the median), with the
+# all-history median reported alongside. Bump the tag whenever a change
+# is expected to move headline timings (plan rewrites, conf changes,
+# query-set membership) — NOT for unrelated commits.
+PERF_EPOCH = "r7a"
+
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
+
+
+def _git_sha() -> str | None:
+    """Current HEAD SHA (best-effort; bench must run without git too)."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def write_detail(artifact: dict, tag: str) -> str | None:
+    """Write the FULL artifact (per-query spark+duck maps, run arrays,
+    history summary — everything) to a committed file under
+    bench_artifacts/. The driver's recorded stdout tail truncates at
+    ~2000 chars (BENCH_r04-r06 lost their per-query maps to it), so the
+    un-truncated artifact of record lives in the repo instead. Returns
+    the repo-relative path, or None on IO failure (never breaks the
+    bench contract)."""
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(root, "bench_artifacts"), exist_ok=True)
+        rel = os.path.join("bench_artifacts", f"detail_{tag}.json")
+        with open(os.path.join(root, rel), "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+        return rel
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def main() -> None:
@@ -183,30 +224,66 @@ def main() -> None:
         "duckdb_twin_sec": duck_queries,
         "duckdb_twin_total_sec": round(sum(duck_queries.values()), 3),
         "spark_over_duckdb_ratio": ratio,
+        "git_sha": _git_sha(),
+        "perf_epoch": PERF_EPOCH,
     }
     artifact["history_same_sf"] = _record_history(artifact)
     # Headline-of-record = the median-ratio invocation over the recorded
-    # same-SF same-set history (see module docstring); falls back to this
-    # invocation when history is unavailable.
-    rec = (artifact["history_same_sf"] or {}).get("median_invocation")
+    # same-SF same-set history. Window (r6 item 9): the SAME-PERF-EPOCH
+    # median once >=3 same-epoch invocations exist (so code changes don't
+    # take dozens of invocations to flush out of the median), else the
+    # all-history median; both are reported.
+    hist = artifact["history_same_sf"] or {}
+    rec, window = None, "none"
+    if hist.get("n_epoch_invocations", 0) >= 3:
+        rec, window = hist.get("epoch_median_invocation"), "perf_epoch"
+    if rec is None and hist.get("median_invocation"):
+        rec, window = hist["median_invocation"], "all_history"
     artifact["value"] = rec["value"] if rec else total
     artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"]
                                    if rec else ratio)
     # Provenance, embedded in the artifact itself (not just this
     # docstring): `value`/`ratio_of_record` are the median-ratio RECORDED
-    # invocation over the same-SF same-set history — a number some real
-    # invocation measured, which may not be THIS one. This invocation's
-    # own measurements are value_live/ratio_live/queries/runs_sec.
+    # invocation over the chosen window — a number some real invocation
+    # measured, which may not be THIS one. This invocation's own
+    # measurements are value_live/ratio_live/queries/runs_sec.
     artifact["of_record_provenance"] = {
         "source": "BENCH_HISTORY.jsonl upper-median-ratio invocation "
                   "(same sf + set_version, incl. this run)",
+        "window": window,
         "invocation_unix": (rec or {}).get("invocation_unix",
                                            artifact["invocation_unix"]),
         "is_this_invocation": (rec is None or rec.get("invocation_unix")
                                == round(bench_start, 1)),
         "live_keys": ["value_live", "ratio_live", "queries", "runs_sec"],
     }
-    print(json.dumps(artifact))
+    detail = write_detail(artifact, f"sf{sf}_{SET_VERSION}")
+    print(json.dumps(compact_line(artifact, detail),
+                     separators=(",", ":")))
+
+
+def compact_line(artifact: dict, detail: str | None) -> dict:
+    """The ONE stdout JSON line, kept under ~1900 chars so the driver's
+    2000-char stdout-tail capture parses it whole (BENCH_r04-r06 printed
+    the full artifact and the recorded copy was truncated mid-object:
+    `parsed: null`). Per-query SPARK seconds stay on the line (the driver
+    contract's required `queries` map); the bulky fields — duck twin map,
+    per-run arrays, history summaries — live in the committed detail
+    file referenced by `detail`."""
+    keep = ("metric", "value", "unit", "queries", "sf", "set_version",
+            "n_queries", "value_live", "ratio_live", "ratio_of_record",
+            "perf_epoch", "invocation_unix", "load_avg",
+            "duckdb_twin_total_sec", "spark_over_duckdb_ratio")
+    out = {k: artifact[k] for k in keep if k in artifact}
+    sha = artifact.get("git_sha")
+    out["git_sha"] = sha[:12] if sha else None
+    hist = artifact.get("history_same_sf") or {}
+    out["n_hist"] = hist.get("n_invocations")
+    out["n_hist_epoch"] = hist.get("n_epoch_invocations")
+    out["of_record_window"] = (artifact.get("of_record_provenance") or
+                               {}).get("window")
+    out["detail"] = detail
+    return out
 
 
 def _record_history(artifact: dict) -> dict | None:
@@ -225,6 +302,10 @@ def _record_history(artifact: dict) -> dict | None:
             "sf", "set_version", "invocation_unix", "load_avg",
             "duckdb_twin_total_sec", "spark_over_duckdb_ratio")}
         entry["value"] = artifact["value_live"]
+        # Code fingerprint per invocation (r6 item 9): which code this
+        # row measured, and the perf-epoch window it belongs to.
+        entry["git_sha"] = artifact.get("git_sha")
+        entry["perf_epoch"] = artifact.get("perf_epoch")
         with open(hist_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
         with open(hist_path) as f:
@@ -242,7 +323,7 @@ def _record_history(artifact: dict) -> dict | None:
         # an averaged value no invocation measured), so ratio_median and
         # median_invocation always agree — one real recorded run is the
         # number of record.
-        return {
+        out = {
             "n_invocations": len(ratios),
             "ratio_median": ratios[mid],
             "ratio_band": [ratios[0], ratios[-1]],
@@ -250,6 +331,20 @@ def _record_history(artifact: dict) -> dict | None:
             "min_load_invocation": min(same,
                                        key=lambda e: e["load_avg"][0]),
         }
+        # Same-perf-epoch window: rows recorded under the CURRENT code
+        # epoch (pre-epoch rows have no tag and are excluded). This is
+        # what of-record switches to once it has >=3 rows, so a perf fix
+        # shows up in the headline within three invocations instead of
+        # waiting out the all-history median.
+        epoch = [e for e in by_ratio
+                 if e.get("perf_epoch") == artifact.get("perf_epoch")]
+        out["n_epoch_invocations"] = len(epoch)
+        if epoch:
+            e_ratios = [e["spark_over_duckdb_ratio"] for e in epoch]
+            e_mid = len(e_ratios) // 2
+            out["ratio_median_epoch"] = e_ratios[e_mid]
+            out["epoch_median_invocation"] = epoch[e_mid]
+        return out
     except Exception:  # noqa: BLE001
         return None
 

@@ -158,16 +158,31 @@ def main() -> None:
     }
     # Same-file history as bench.py (entries distinguished by sf=1.0):
     # the paired ratio is load-controlled per invocation; the median over
-    # recorded sf1 invocations is the tier's number of record.
-    from bench import _record_history
+    # recorded sf1 invocations is the tier's number of record. Same
+    # git-SHA / perf-epoch provenance and same-epoch of-record window,
+    # and the same committed un-truncated detail artifact, as bench.py.
+    from bench import (
+        PERF_EPOCH, _git_sha, _record_history, compact_line, write_detail,
+    )
+    artifact["git_sha"] = _git_sha()
+    artifact["perf_epoch"] = PERF_EPOCH
+    artifact["value_live"] = artifact["value"]
+    artifact["ratio_live"] = artifact["spark_over_duckdb_ratio"]
     hist_artifact = dict(artifact,
-                         value_live=artifact["value"],
                          duckdb_twin_total_sec=round(sum(duck.values()), 3))
-    artifact["history_same_sf"] = _record_history(hist_artifact)
-    rec = (artifact["history_same_sf"] or {}).get("median_invocation")
+    hist = _record_history(hist_artifact)
+    artifact["history_same_sf"] = hist or {}
+    rec, window = None, "none"
+    if (hist or {}).get("n_epoch_invocations", 0) >= 3:
+        rec, window = hist.get("epoch_median_invocation"), "perf_epoch"
+    if rec is None and (hist or {}).get("median_invocation"):
+        rec, window = hist["median_invocation"], "all_history"
     artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"] if rec
                                    else artifact["spark_over_duckdb_ratio"])
-    print(json.dumps(artifact))
+    artifact["of_record_provenance"] = {"window": window}
+    detail = write_detail(artifact, "sf1_v2")
+    print(json.dumps(compact_line(artifact, detail),
+                     separators=(",", ":")))
 
 
 if __name__ == "__main__":
