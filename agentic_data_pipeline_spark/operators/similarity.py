@@ -332,6 +332,9 @@ def batch_topk(scored: DataFrame, k: int, query_col: str = "query_id",
 
 
 _SIM_TOPK_ORACLE = f"""
+    -- shared by ext_similarity_topk AND ext_similarity_topk_batch (same
+    -- semantics, JVM-fold vs BLAS path); r7: re-land the batch op's
+    -- driver row, whose last sample (r3) predates this shared oracle.
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            {_duck_trunc6(_duck_cos('c.embedding', 'q.embedding'))} AS sim
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
