@@ -521,3 +521,111 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(C("group_n") < K_ANON)
             .select("c_nationkey", "c_mktsegment", "group_n",
                     (F.lit(1.0) / C("group_n")).alias("reident_risk")))
+
+
+@op("ext_k_anonymity_enforce", oracle=f"""
+    WITH base AS (
+        SELECT c.c_custkey,
+               CAST(c.c_nationkey AS VARCHAR) AS nat,
+               c.c_mktsegment AS seg,
+               'R' || CAST(n.n_regionkey AS VARCHAR) AS reg
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), l0 AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY nat, seg) AS n0 FROM base
+    ), l1 AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY reg, seg) AS n1
+        FROM l0 WHERE n0 < {K_ANON}
+    ), l2 AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY reg) AS n2
+        FROM l1 WHERE n1 < {K_ANON}
+    ), released AS (
+        SELECT nat AS qi_nation, seg AS qi_segment, 0 AS level
+        FROM l0 WHERE n0 >= {K_ANON}
+        UNION ALL
+        SELECT reg, seg, 1 FROM l1 WHERE n1 >= {K_ANON}
+        UNION ALL
+        SELECT reg, '*', 2 FROM l2 WHERE n2 >= {K_ANON}
+    ), groups AS (
+        SELECT qi_nation, qi_segment, CAST(level AS INT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS group_n
+        FROM released GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT '*', '*', 3, CAST(COUNT(*) AS BIGINT)
+        FROM l2 WHERE n2 < {K_ANON} HAVING COUNT(*) > 0
+    )
+    SELECT qi_nation, qi_segment, level, group_n,
+           (level = 3 OR group_n >= {K_ANON}) AS satisfies_k
+    FROM groups
+""")
+def ext_k_anonymity_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT (the production sibling of the
+    ext_k_anonymity audit): rows whose quasi-identifier group is under
+    k={K_ANON} are GENERALIZED up a fixed ladder until their group
+    reaches k, and suppressed only when even the coarsest level fails —
+    the classic Samarati/Sweeney domain-generalization scheme.
+
+    Ladder (each row released at the LOWEST sufficient level):
+      0. (nation, segment)      — exact QIs, groups already >= k;
+      1. (region, segment)      — nation generalized to its region;
+      2. (region, '*')          — segment fully generalized;
+      3. suppressed             — emitted as one accounting row, never
+                                  released.
+
+    Output is one row per RELEASED group (qi values at their release
+    granularity, ladder level, size) plus the suppression accounting
+    row; ``satisfies_k`` is computed from the released size, so the
+    DuckDB hash-compare PROVES every released group reaches k — the
+    enforcement contract, asserted in the artifact itself. Σ group_n
+    over all rows == corpus size (pytest-pinned total-partition
+    invariant).
+
+    Scale shape: three window counts over strictly SHRINKING remainders
+    (level-1 input is only the level-0 violators — at sf0.01, 173 of
+    1500 rows; real lakes shrink faster since exact-QI groups dominate),
+    then one bounded aggregate. nation is a broadcast dim join. No
+    all-pairs work anywhere; output is bounded by the generalization
+    lattice size, not the table. k is a single module constant shared
+    with the audit op ({K_ANON}).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (cust.join(F.broadcast(nation.select("n_nationkey",
+                                                "n_regionkey")),
+                      C("c_nationkey") == C("n_nationkey"))
+            .select(C("c_custkey"),
+                    C("c_nationkey").cast("string").alias("nat"),
+                    C("c_mktsegment").alias("seg"),
+                    F.concat(F.lit("R"), C("n_regionkey").cast("string"))
+                    .alias("reg")))
+    l0 = base.withColumn(
+        "n0", F.count(F.lit(1)).over(Window.partitionBy("nat", "seg")))
+    l1 = (l0.filter(C("n0") < K_ANON).withColumn(
+        "n1", F.count(F.lit(1)).over(Window.partitionBy("reg", "seg"))))
+    l2 = (l1.filter(C("n1") < K_ANON).withColumn(
+        "n2", F.count(F.lit(1)).over(Window.partitionBy("reg"))))
+    released = (
+        l0.filter(C("n0") >= K_ANON)
+        .select(C("nat").alias("qi_nation"), C("seg").alias("qi_segment"),
+                F.lit(0).alias("level"))
+        .unionByName(l1.filter(C("n1") >= K_ANON)
+                     .select(C("reg").alias("qi_nation"),
+                             C("seg").alias("qi_segment"),
+                             F.lit(1).alias("level")))
+        .unionByName(l2.filter(C("n2") >= K_ANON)
+                     .select(C("reg").alias("qi_nation"),
+                             F.lit("*").alias("qi_segment"),
+                             F.lit(2).alias("level"))))
+    groups = (released.groupBy("qi_nation", "qi_segment",
+                               C("level").cast("int").alias("level"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("group_n")))
+    suppressed = (l2.filter(C("n2") < K_ANON)
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("group_n"))
+                  .filter(C("group_n") > 0)
+                  .select(F.lit("*").alias("qi_nation"),
+                          F.lit("*").alias("qi_segment"),
+                          F.lit(3).cast("int").alias("level"),
+                          "group_n"))
+    return (groups.unionByName(suppressed)
+            .select("qi_nation", "qi_segment", "level", "group_n",
+                    ((C("level") == 3) | (C("group_n") >= K_ANON))
+                    .alias("satisfies_k")))

@@ -314,6 +314,34 @@ def test_k_anonymity_flags_exactly_the_small_groups(spark, sf_dir):
         assert r["reident_risk"] == 1.0 / r["group_n"]
 
 
+def test_k_anonymity_enforce_releases_only_k_groups(spark, sf_dir):
+    """Enforcement contract: every RELEASED group has >= k rows; the
+    output is a total partition of the corpus (released + suppressed row
+    counts sum to |customer|); a generalized row's group really was under
+    k at every finer level (ladder is lowest-sufficient, pinned by the
+    audit op's violating set)."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.prep import K_ANON
+    from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
+
+    _ensure_loaded()
+    rows = OPS["ext_k_anonymity_enforce"].fn(spark, sf_dir).collect()
+    released = [r for r in rows if r["level"] < 3]
+    assert released, "fixture must release at least one group"
+    assert all(r["group_n"] >= K_ANON for r in released)
+    assert all(r["satisfies_k"] for r in rows)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["group_n"] for r in rows) == n_cust
+    # level-0 groups must be exactly the audit's NON-violating exact-QI
+    # groups (same k, same QIs — the two ops agree on the frontier)
+    audit = {(str(r["c_nationkey"]), r["c_mktsegment"])
+             for r in OPS["ext_k_anonymity"].fn(spark, sf_dir).collect()}
+    lvl0 = {(r["qi_nation"], r["qi_segment"]) for r in released
+            if r["level"] == 0}
+    assert not (lvl0 & audit), \
+        "a group the audit flagged as under-k must not release at level 0"
+
+
 def test_decontaminate_embedding_matches_numpy(spark, sf_dir):
     """Flagged set must equal the numpy brute-force: corpus vectors whose
     max cosine to the eval split (vec_id % 50 == 0) exceeds 0.3, with the
