@@ -1356,3 +1356,154 @@ def ext_contrastive_triplets(spark: SparkSession,
                     C("pos_id").alias("positive_id"), "pos_sim",
                     C("neg_id").alias("negative_id"),
                     _trunc6(neg_sim).alias("neg_sim")))
+
+
+# --- derived-blocking kNN graph (r6 verdict item 4) ------------------
+# ext_knn_graph blocks on a DATA-PROVIDED key (`label`); with a fixed
+# label count that is quadratic in the corpus. This path DERIVES the
+# block key from the vectors themselves — k-means cells with k ∝ N
+# (semdedup's machinery and constant, SEMDEDUP_TARGET_CLUSTER_ROWS) —
+# so per-block size, and therefore per-block pair work and the BLAS
+# twin's per-task memory, stays flat as the corpus grows.
+KNN_DERIVED_SAMPLE = 64       # exact-recall probe rows (vec_id < this)
+KNN_DERIVED_RECALL_FLOOR = 0.15   # measured 0.28-0.48 on the fixtures
+                                  # (near-orthogonal embeddings; exact
+                                  # duplicates co-locate at recall 1.0)
+
+
+def knn_graph_derived(emb: DataFrame, k: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      k_cells: int | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
+    """kNN graph over DERIVED blocks: k-means cells (k_cells ≈ N/64,
+    `semdedup_k_for`) replace the data-provided label as the block key,
+    then the BLAS `knn_graph_batch` runs per cell. Returns
+    (assignments, edges) — assignments so callers (and the contract op)
+    can audit the blocking itself.
+
+    Scale shape: the k-means fit is per-iteration map + k-row reduce
+    (model broadcasts); assignment is one map pass, checkpointed so the
+    edge build and any audit reuse it without re-fitting; the edge build
+    is ONE shuffle on the derived cell id. k ∝ N holds per-cell pair
+    count ≈ N·target flat per block — the invariant the fixed-label
+    blocking cannot maintain (the r4 'honest law' probe)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if k_cells is None:
+        k_cells = semdedup_k_for(emb.select(id_col).count())
+    feats = emb.withColumn(
+        "__f", array_to_vector(C(vec_col).cast("array<double>")))
+    model = KMeans(k=k_cells, seed=42, maxIter=10, featuresCol="__f",
+                   predictionCol="__cell").fit(feats)
+    assigned = (model.transform(feats).drop("__f")
+                .select(C(id_col), C("__cell").cast("int").alias("__cell"),
+                        C(vec_col))
+                .localCheckpoint())
+    edges = knn_graph_batch(assigned, k=k, block_col="__cell",
+                            id_col=id_col, vec_col=vec_col)
+    return assigned, edges
+
+
+@op("ext_knn_graph_derived", oracle="""
+    SELECT CAST(COUNT(*) AS INT) AS n_vectors,
+           CAST(GREATEST(8, COUNT(*) // 64) AS INT) AS n_cells,
+           3 AS k,
+           TRUE AS partition_ok,
+           TRUE AS degree_ok,
+           TRUE AS sims_valid,
+           TRUE AS block_size_bounded,
+           TRUE AS recall_floor_ok
+    FROM embeddings
+""")
+def ext_knn_graph_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashed contract for the derived-blocking kNN graph (the
+    ANN-recall-contract design: k-means assignments are engine-local, so
+    the edge list itself is rows-only — the contract hash-pins every
+    clustering-independent consequence instead).
+
+    Cross-engine-exact fields: n_vectors; n_cells (the semdedup_k_for
+    formula re-derived in SQL); k. Spark-computed booleans the DuckDB
+    twin asserts as literal TRUE:
+    - partition_ok     — every vector assigned exactly one cell;
+    - degree_ok        — every vector has exactly min(k, cell_size-1)
+                         out-edges (singleton cells legitimately 0);
+    - sims_valid       — every edge sim in [-1, 1] (1e-9 float slack)
+                         and rank-1 sim >= rank-k sim per vector;
+    - block_size_bounded — max cell size <= n/2: a clustering collapse
+                         (everything in one cell, i.e. quadratic work
+                         returns) fails the driver hash;
+    - recall_floor_ok  — among vec_id < 64, the EXACT global top-1
+                         neighbor (brute force, O(sample·n)) lands in
+                         the probe's own cell for >= 15% of probes
+                         (measured 0.28-0.48 on the near-orthogonal
+                         fixtures; exact duplicates co-locate at 1.0) —
+                         a shattered or degenerate clustering fails.
+    """
+    from ..functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, edges = knn_graph_derived(emb, k=3)
+    edges = edges.localCheckpoint()
+
+    n_row = emb.agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors"),
+        F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / 64))
+        .cast("int").alias("n_cells"))
+
+    sizes = assigned.groupBy("__cell").agg(
+        F.count(F.lit(1)).alias("__sz"))
+    part_row = (assigned.agg(F.count(F.lit(1)).alias("__n_rows"),
+                             F.countDistinct("vec_id").alias("__n_ids"))
+                .crossJoin(F.broadcast(
+                    sizes.agg(F.max("__sz").alias("__max_sz"))))
+                .select("__n_rows", "__n_ids", "__max_sz"))
+
+    deg = (assigned.join(sizes, "__cell")
+           .join(edges.groupBy("vec_id")
+                 .agg(F.count(F.lit(1)).alias("__deg")), "vec_id", "left")
+           .select(F.coalesce(C("__deg"), F.lit(0)).alias("__deg"),
+                   F.least(F.lit(3), C("__sz") - 1).alias("__want")))
+    deg_row = deg.agg(F.min(C("__deg") == C("__want")).alias("degree_ok"))
+
+    sim_row = (edges.groupBy("vec_id")
+               .agg(F.min("sim").alias("__lo"), F.max("sim").alias("__hi"),
+                    F.min_by("sim", "rank").alias("__first"),
+                    F.max_by("sim", "rank").alias("__last"))
+               .agg(F.min((C("__lo") >= -1 - 1e-9)
+                          & (C("__hi") <= 1 + 1e-9)
+                          & (C("__first") >= C("__last")))
+                    .alias("sims_valid")))
+
+    a = emb.filter(C("vec_id") < KNN_DERIVED_SAMPLE).select(
+        C("vec_id").alias("a_id"), C("embedding").alias("a_vec"),
+        l2_norm(C("embedding")).alias("a_n"))
+    b = emb.select(C("vec_id").alias("b_id"), C("embedding").alias("b_vec"),
+                   l2_norm(C("embedding")).alias("b_n"))
+    sim = dot(C("a_vec"), C("b_vec")) / (C("a_n") * C("b_n"))
+    top1 = (F.broadcast(a).join(b, C("a_id") != C("b_id"))
+            .groupBy("a_id")
+            .agg(F.min_by(C("b_id"), F.struct((-sim).alias("s"),
+                                              C("b_id"))).alias("nn_id")))
+    cells = assigned.select(C("vec_id"), C("__cell"))
+    rec_row = (top1
+               .join(cells.select(C("vec_id").alias("a_id"),
+                                  C("__cell").alias("a_cell")), "a_id")
+               .join(cells.select(C("vec_id").alias("nn_id"),
+                                  C("__cell").alias("nn_cell")), "nn_id")
+               .agg(F.avg((C("a_cell") == C("nn_cell")).cast("double"))
+                    .alias("__recall")))
+
+    return (n_row.crossJoin(F.broadcast(part_row))
+            .crossJoin(F.broadcast(deg_row))
+            .crossJoin(F.broadcast(sim_row))
+            .crossJoin(F.broadcast(rec_row))
+            .select("n_vectors", "n_cells", F.lit(3).alias("k"),
+                    ((C("__n_rows") == C("n_vectors"))
+                     & (C("__n_ids") == C("n_vectors")))
+                    .alias("partition_ok"),
+                    "degree_ok", "sims_valid",
+                    (C("__max_sz") <= C("n_vectors") / 2)
+                    .alias("block_size_bounded"),
+                    (C("__recall") >= KNN_DERIVED_RECALL_FLOOR)
+                    .alias("recall_floor_ok")))

@@ -102,3 +102,45 @@ def test_kmeans_contract_verifies_fit(spark, sf_dir):
     assert row.sizes_sum_ok and row.all_nearest_ok \
         and row.all_clusters_nonempty, row
     assert row.k == 8 and row.dim == 64
+
+
+def test_knn_graph_derived_contract_and_blocking(spark, sf_dir):
+    """Derived-blocking kNN: the contract booleans hold, cell sizes track
+    the N/64 target (not N/|labels|), and every edge is verified against
+    a numpy within-cell brute force — the derived twin of the
+    label-blocked op's pinning test."""
+    import numpy as np
+
+    from agentic_data_pipeline_spark.operators.similarity import (
+        ext_knn_graph_derived, knn_graph_derived, semdedup_k_for,
+    )
+    from agentic_data_pipeline_spark.catalog import load_table
+
+    row = ext_knn_graph_derived(spark, sf_dir).collect()[0]
+    assert row.partition_ok and row.degree_ok and row.sims_valid \
+        and row.block_size_bounded and row.recall_floor_ok, row
+    assert row.n_cells == semdedup_k_for(row.n_vectors)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, edges = knn_graph_derived(emb, k=3)
+    asg = assigned.toPandas()
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+           for r in edges.collect()}
+    n_expected = 0
+    for _, grp in asg.groupby("__cell"):
+        ids = grp["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in grp["embedding"]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(3, len(ids) - 1)
+        n_expected += max(kk, 0) * len(ids)
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sims[i]))[:kk]
+            for rank, j in enumerate(order, start=1):
+                nb, sim = got[(ids[i], rank)]
+                assert nb == ids[j], (ids[i], rank)
+                assert abs(sim - np.floor(sims[i][j] * 1e6 + 1e-3) / 1e6) \
+                    < 2e-6
+    assert len(got) == n_expected
