@@ -614,7 +614,7 @@ def ext_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table is at v3."""
     from ..sources.snapshots import (
         compact_snapshot, expire_snapshots, read_snapshot,
-        snapshot_versions, _read_manifest,
+        snapshot_versions, _normalize_entry, _read_manifest,
     )
 
     table = _snapshot_expire_fixture(spark, sf_dir)
@@ -622,7 +622,8 @@ def ext_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_snapshot(spark, table, target_files=1)
         expire_snapshots(table, keep_last=1)
     versions = snapshot_versions(table)
-    manifest_files = set(_read_manifest(table, versions[-1])["files"])
+    manifest_files = {_normalize_entry(f)["path"]
+                      for f in _read_manifest(table, versions[-1])["files"]}
     on_disk = {os.path.join("data", f)
                for f in os.listdir(os.path.join(table, "data"))}
     return (read_snapshot(spark, table)
@@ -668,3 +669,117 @@ def ext_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(C("n_current"), F.lit(0)).alias("n_current"),
                     (F.coalesce(C("n_current"), F.lit(0))
                      - F.coalesce(C("n_asof_v1"), F.lit(0))).alias("delta")))
+
+
+def _partition_evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Snapshot table whose history EVOLVES its partition spec: v1 =
+    first half of events partitioned by WEEK; v2 = append of the second
+    half partitioned by (WEEK, DAY) — one live snapshot referencing files
+    written under two specs, the situation real lakes are in after a
+    repartitioning decision."""
+    import duckdb
+
+    from ..catalog import table_path, ts_us_timestamp
+    from ..sources.snapshots import commit_snapshot
+    from .reference_ops import _lake_fp, _materialize_once, _sf_scratch
+
+    table = _sf_scratch(sf_dir, "snap_evolution_table")
+
+    def build() -> None:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        lake = table_path(sf_dir, "events")
+        con = duckdb.connect()
+        mx = con.execute(
+            f"SELECT MAX(event_id) FROM read_parquet('{lake}')"
+        ).fetchone()[0]
+        ev = load_table(spark, sf_dir, "events")
+        ts = ts_us_timestamp(ev)
+        ev = (ev.withColumn("week", F.date_trunc("week", ts)
+                            .cast("date").cast("string"))
+              .withColumn("day", ts.cast("date").cast("string")))
+        commit_snapshot(ev.filter(C("event_id") < mx // 2), table,
+                        "append", partition_by=["week"])
+        commit_snapshot(ev.filter(C("event_id") >= mx // 2), table,
+                        "append", partition_by=["week", "day"])
+        os.makedirs(table, exist_ok=True)
+        open(os.path.join(table, "_SUCCESS"), "w").close()
+
+    _materialize_once(table, build, _lake_fp(sf_dir, "events"))
+    return table
+
+
+@op("ext_partition_evolution", oracle="""
+    WITH w AS (
+        SELECT CAST(CAST(date_trunc('week', MIN(ts)) AS DATE) AS VARCHAR)
+                   AS wk,
+               CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS d0
+        FROM events
+    )
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events, w
+            WHERE CAST(CAST(ts AS DATE) AS VARCHAR) = w.d0)
+               AS min_day_rows,
+           TRUE AS pruned_by_week,
+           TRUE AS pruned_by_day
+    FROM events, w
+    WHERE CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) = w.wk
+    GROUP BY 1
+""")
+def ext_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution (the one Iceberg-ish capability the snapshot
+    lake lacked, r6 verdict item 6): the fixture table's v1 files are
+    week-partitioned, its v2 appends are (week, day)-partitioned, and
+    ONE snapshot references both. The op reads the live snapshot three
+    ways and hash-proves pruning stays correct across the spec boundary:
+
+    - per-day aggregate of the MIN week via a week-pruned read (both
+      specs recorded `week`, so pruning hits every file family);
+    - min_day_rows via a DAY-pruned read: day prunes only the new-spec
+      files; old-spec files (no `day` key) are kept and row-filtered —
+      the cross-boundary correctness rule (a spec that cannot answer a
+      predicate never prunes);
+    - pruned_by_week / pruned_by_day assert both pruned file lists are
+      STRICT subsets of the full manifest (driver-side metadata only,
+      no scan) — so the driver hash fails if pruning ever stops
+      engaging OR starts dropping files it must keep (the aggregates
+      would drift).
+
+    Scale shape: pruning is O(manifest) driver work; every scan reads
+    only surviving files; row-level filters still apply after pruning,
+    so correctness never depends on the metadata."""
+    from ..catalog import ts_us_timestamp
+    from ..sources.snapshots import read_snapshot, snapshot_files
+
+    table = _partition_evolution_fixture(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ts = ts_us_timestamp(ev)
+    bounds = (ev.agg(F.min(ts).alias("__t0")).first())
+    wk = str(bounds["__t0"].date()
+             - __import__("datetime").timedelta(
+                 days=bounds["__t0"].weekday()))
+    d0 = str(bounds["__t0"].date())
+
+    all_files = snapshot_files(table)
+    week_files = snapshot_files(table, eq={"week": wk})
+    day_files = snapshot_files(table, eq={"day": d0})
+    pruned_by_week = len(week_files) < len(all_files)
+    pruned_by_day = len(day_files) < len(all_files)
+
+    week_read = (read_snapshot(spark, table, eq={"week": wk})
+                 .filter(C("week") == wk))
+    day_probe = (read_snapshot(spark, table, eq={"day": d0})
+                 .filter(C("day") == d0)
+                 .agg(F.count(F.lit(1)).alias("min_day_rows")))
+    return (week_read.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum(F.round(C("value") * 100, 0).cast("bigint"))
+                  .cast("double") / 100.0).alias("sum_value"))
+            .crossJoin(F.broadcast(day_probe))
+            .select("day", "n_rows", "sum_value", "min_day_rows",
+                    F.lit(pruned_by_week).alias("pruned_by_week"),
+                    F.lit(pruned_by_day).alias("pruned_by_day")))

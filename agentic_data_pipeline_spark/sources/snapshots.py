@@ -48,15 +48,37 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _normalize_entry(entry) -> dict:
+    """Manifest file entries are dicts {path, partition}; pre-evolution
+    manifests stored plain path strings — normalize both shapes."""
+    if isinstance(entry, str):
+        return {"path": entry, "partition": {}}
+    return entry
+
+
 def commit_snapshot(df: DataFrame, table_dir: str,
-                    mode: str = "append") -> int:
+                    mode: str = "append",
+                    partition_by: list[str] | None = None) -> int:
     """Write ``df``'s rows as new immutable data files and publish the
     next snapshot manifest. ``mode``: "append" (new snapshot = parent's
     files + new files) or "overwrite" (new snapshot = new files only —
     the parent's files remain on disk, still referenced by the old
     manifest: that is what makes time travel work). Returns the new
     version number. The manifest lands via os.replace LAST, so a crash
-    mid-write leaves unreferenced orphan files, never a corrupt table."""
+    mid-write leaves unreferenced orphan files, never a corrupt table.
+
+    ``partition_by`` (PARTITION EVOLUTION, Iceberg-style): the listed
+    columns partition THIS commit's files, and each file's manifest
+    entry records its partition values, so `read_snapshot(eq=...)`
+    prunes by metadata. The spec is per-COMMIT, not per-table: a later
+    commit may use a different (typically finer) spec, and one snapshot
+    may reference files written under several specs — readers prune
+    each file by whatever columns ITS entry recorded and keep files
+    whose spec cannot answer the predicate (correctness never depends
+    on pruning). Partition columns stay IN the data files (the write
+    path partitions on hidden duplicates), so no read-side value
+    re-attachment is needed and old-spec files still answer new-spec
+    predicates row-wise."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     versions = snapshot_versions(table_dir)
@@ -66,20 +88,50 @@ def commit_snapshot(df: DataFrame, table_dir: str,
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
 
     tmp = os.path.join(table_dir, f"_tmp_write_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(tmp)
     new_files = []
-    for i, f in enumerate(sorted(os.listdir(tmp))):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"v{version}-{i:04d}-{uuid.uuid4().hex[:8]}.parquet"
-        os.replace(os.path.join(tmp, f), os.path.join(data_dir, name))
-        new_files.append(os.path.join("data", name))
+    if partition_by:
+        # Partition on hidden duplicates so the real columns survive in
+        # the data files (write.partitionBy drops its columns).
+        hidden = [f"__p_{c}" for c in partition_by]
+        out = df
+        for c, h in zip(partition_by, hidden):
+            out = out.withColumn(h, out[c].cast("string"))
+        out.write.mode("overwrite").partitionBy(*hidden).parquet(tmp)
+        for root, _dirs, fs in sorted(os.walk(tmp)):
+            rel = os.path.relpath(root, tmp)
+            if rel == ".":
+                continue
+            part = {}
+            for seg in rel.split(os.sep):
+                k, _, v = seg.partition("=")
+                if k.startswith("__p_"):
+                    part[k[len("__p_"):]] = v
+            for i, f in enumerate(sorted(fs)):
+                if not f.endswith(".parquet"):
+                    continue
+                name = (f"v{version}-{uuid.uuid4().hex[:8]}-{i:04d}"
+                        ".parquet")
+                os.replace(os.path.join(root, f),
+                           os.path.join(data_dir, name))
+                new_files.append({"path": os.path.join("data", name),
+                                  "partition": part})
+    else:
+        df.write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"v{version}-{i:04d}-{uuid.uuid4().hex[:8]}.parquet"
+            os.replace(os.path.join(tmp, f), os.path.join(data_dir, name))
+            new_files.append({"path": os.path.join("data", name),
+                              "partition": {}})
     shutil.rmtree(tmp)
 
     files = new_files
     if mode == "append" and versions:
-        files = _read_manifest(table_dir, versions[-1])["files"] + new_files
+        files = (_read_manifest(table_dir, versions[-1])["files"]
+                 + new_files)
     manifest = {"version": version, "mode": mode, "files": files,
+                "spec": partition_by or [],
                 "parent": versions[-1] if versions else None}
     final = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
     tmp_m = final + ".tmp"
@@ -115,7 +167,8 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     kept = versions[-keep_last:]
     for v in expired:  # phase 1: manifests first
         os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
-    live = {f for v in kept for f in _read_manifest(table_dir, v)["files"]}
+    live = {_normalize_entry(f)["path"] for v in kept
+            for f in _read_manifest(table_dir, v)["files"]}
     data_dir = os.path.join(table_dir, "data")
     deleted, reclaimed = 0, 0
     if os.path.isdir(data_dir):
@@ -149,17 +202,39 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     return commit_snapshot(df, table_dir, mode="overwrite")
 
 
-def read_snapshot(spark: SparkSession, table_dir: str,
-                  version: int | None = None) -> DataFrame:
-    """Read one snapshot (default: latest) — time travel is just passing
-    an older version. Resolves the manifest's file list; never lists the
-    data directory, so orphans and newer snapshots are invisible."""
+def snapshot_files(table_dir: str, version: int | None = None,
+                   eq: dict[str, str] | None = None) -> list[str]:
+    """Resolve one snapshot's file list, PRUNED by equality predicates
+    on partition columns. A file is kept unless its manifest entry
+    recorded a value for the predicate column AND that value differs —
+    so files written under an older/coarser spec (no such column) are
+    always kept and answer the predicate row-wise. This is what makes
+    pruning correct ACROSS a partition-spec change: metadata pruning is
+    an optimization, never a correctness dependency."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     v = versions[-1] if version is None else version
-    m = _read_manifest(table_dir, v)
-    if not m["files"]:
+    out = []
+    for entry in map(_normalize_entry, _read_manifest(table_dir, v)["files"]):
+        part = entry.get("partition", {})
+        if eq and any(c in part and part[c] != val
+                      for c, val in eq.items()):
+            continue
+        out.append(os.path.join(table_dir, entry["path"]))
+    return out
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None,
+                  eq: dict[str, str] | None = None) -> DataFrame:
+    """Read one snapshot (default: latest) — time travel is just passing
+    an older version. Resolves the manifest's file list; never lists the
+    data directory, so orphans and newer snapshots are invisible. ``eq``
+    prunes files by partition metadata (see snapshot_files); callers
+    still apply the row-level predicate — pruning only narrows the scan.
+    """
+    files = snapshot_files(table_dir, version, eq)
+    if not files:
         return spark.createDataFrame([], schema="__empty string").limit(0)
-    return spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in m["files"]])
+    return spark.read.parquet(*files)

@@ -66,8 +66,10 @@ def test_manifest_contents_are_minimal_metadata(spark, table):
     with open(os.path.join(table, "_manifests", "v1.json")) as f:
         m = json.load(f)
     assert m["version"] == 1 and m["parent"] is None
-    assert all(p.startswith("data/") and p.endswith(".parquet")
-               for p in m["files"])
+    # entries are {path, partition} dicts since partition evolution (r7)
+    assert all(e["path"].startswith("data/")
+               and e["path"].endswith(".parquet")
+               and isinstance(e["partition"], dict) for e in m["files"])
 
 
 def test_bad_mode_rejected(spark, table):
@@ -165,7 +167,7 @@ def test_compact_snapshot_same_rows_fewer_files(spark, table):
     # old version untouched until expired
     assert read_snapshot(spark, table, 1).count() == 100
     expire_snapshots(table, keep_last=1)
-    assert _files(table) == {os.path.basename(m["files"][0])}
+    assert _files(table) == {os.path.basename(m["files"][0]["path"])}
 
 
 def test_expire_keep_last_validated(spark, table):
@@ -176,3 +178,53 @@ def test_expire_keep_last_validated(spark, table):
     commit_snapshot(_df(spark, [1]), table, "append")
     with pytest.raises(ValueError):
         expire_snapshots(table, keep_last=0)
+
+
+# ------------------------------------------- partition evolution (r7)
+
+def test_partition_evolution_prunes_across_spec_boundary(spark, table):
+    """One snapshot, two specs: v1 files partitioned by `g`, v2 appends
+    partitioned by (g, h). Predicates must prune exactly the files whose
+    spec can answer them and NEVER change results."""
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        read_snapshot, snapshot_files,
+    )
+
+    df1 = spark.range(40).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS g", "CAST(id % 2 AS STRING) AS h")
+    df2 = spark.range(40, 80).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS g", "CAST(id % 2 AS STRING) AS h")
+    commit_snapshot(df1, table, "append", partition_by=["g"])
+    commit_snapshot(df2, table, "append", partition_by=["g", "h"])
+
+    all_files = snapshot_files(table)
+    g_files = snapshot_files(table, eq={"g": "1"})
+    h_files = snapshot_files(table, eq={"h": "1"})
+    # g prunes BOTH file families; h prunes only v2's files (v1's spec
+    # has no h key -> kept, row-filtered by the caller)
+    assert len(g_files) < len(all_files)
+    assert len(h_files) < len(all_files)
+    v1_files = {f for f in all_files if "/v1-" in f or "v1-" in
+                os.path.basename(f)}
+    assert v1_files <= set(h_files), \
+        "old-spec files must never be pruned by a new-spec column"
+
+    got = sorted(r["id"] for r in
+                 read_snapshot(spark, table, eq={"g": "1"})
+                 .filter("g = '1'").collect())
+    assert got == [i for i in range(80) if i % 4 == 1]
+    got_h = sorted(r["id"] for r in
+                   read_snapshot(spark, table, eq={"h": "1"})
+                   .filter("h = '1'").collect())
+    assert got_h == [i for i in range(80) if i % 2 == 1]
+
+
+def test_partition_columns_survive_in_data_files(spark, table):
+    """The write path partitions on hidden duplicates: the real columns
+    must still be present in the parquet data (old-spec files answer
+    new-spec predicates row-wise only because of this)."""
+    df = spark.range(10).selectExpr("id", "CAST(id % 2 AS STRING) AS g")
+    commit_snapshot(df, table, "append", partition_by=["g"])
+    back = read_snapshot(spark, table)
+    assert set(back.columns) == {"id", "g"}
+    assert back.filter("g = '1'").count() == 5
