@@ -146,7 +146,13 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
+    # The verify sets are CORPUS-sized (one shingle array per doc) and
+    # their post-aggregate size estimate is unreliable — Spark picked a
+    # broadcast at the 1M-doc probe tier and OOM'd the driver. Pin both
+    # verify joins to shuffle joins on the id (the 100 TB shape: the
+    # candidate stream and the sets co-partition by doc id).
+    sets = (sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
+            .hint("shuffle_hash"))
     pairs = (
         cand.join(sets.select(C("id").alias("a_id"), C("sh").alias("a_sh")),
                   "a_id")

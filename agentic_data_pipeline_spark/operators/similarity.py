@@ -1409,14 +1409,28 @@ def knn_graph_derived(emb: DataFrame, k: int = 3,
 
     if k_cells is None:
         k_cells = semdedup_k_for(emb.select(id_col).count())
-    feats = emb.withColumn(
-        "__f", array_to_vector(C(vec_col).cast("array<double>")))
-    model = KMeans(k=k_cells, seed=42, maxIter=10, featuresCol="__f",
-                   predictionCol="__cell").fit(feats)
-    assigned = (model.transform(feats).drop("__f")
-                .select(C(id_col), C("__cell").cast("int").alias("__cell"),
-                        C(vec_col))
-                .localCheckpoint())
+    if k_cells > DERIVED_CELLS_DIRECT_CAP:
+        # Past the single-fit regime: hierarchical cells (see
+        # derive_cells), vectors re-joined on id for the edge build.
+        # BOTH sides are corpus-sized — hint the join away from a
+        # broadcast (Spark's size estimate for the applyInPandas output
+        # is optimistic enough to pick one and OOM the driver at the
+        # 2M-vector tier; a shuffled hash join on id is the scale shape).
+        cells = derive_cells(emb, id_col, vec_col)
+        assigned = (emb.select(id_col, vec_col)
+                    .join(cells.hint("shuffle_hash"), id_col)
+                    .select(C(id_col), C("__cell"), C(vec_col))
+                    .localCheckpoint())
+    else:
+        feats = emb.withColumn(
+            "__f", array_to_vector(C(vec_col).cast("array<double>")))
+        model = KMeans(k=k_cells, seed=42, maxIter=10, featuresCol="__f",
+                       predictionCol="__cell").fit(feats)
+        assigned = (model.transform(feats).drop("__f")
+                    .select(C(id_col),
+                            C("__cell").cast("int").alias("__cell"),
+                            C(vec_col))
+                    .localCheckpoint())
     edges = knn_graph_batch(assigned, k=k, block_col="__cell",
                             id_col=id_col, vec_col=vec_col)
     return assigned, edges
@@ -1524,3 +1538,101 @@ def ext_knn_graph_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("block_size_bounded"),
                     (C("__recall") >= KNN_DERIVED_RECALL_FLOOR)
                     .alias("recall_floor_ok")))
+
+
+# Above this many cells a single Lloyd fit is no longer the scale path:
+# k ∝ N makes full-corpus k-means O(N·k·d) = O(N²d/64). The hierarchical
+# construction below (coarse fit on a bounded sample → BLAS assign →
+# per-coarse-cell numpy sub-k-means, each cell independent) is the "swap
+# assignment to the IVF machinery" the semdedup docstring promises.
+DERIVED_CELLS_DIRECT_CAP = 4096
+_CELL_STRIDE = 1_000_000  # final cell id = coarse * stride + sub
+
+
+def derive_cells(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 target: int = SEMDEDUP_TARGET_CLUSTER_ROWS,
+                 direct_cap: int = DERIVED_CELLS_DIRECT_CAP) -> DataFrame:
+    """Assign every vector a derived block/cell id with expected cell
+    size ≈ ``target``, scaling past the single-fit regime.
+
+    - k_cells <= direct_cap: one MLlib KMeans fit (the fixture path —
+      bit-stable seed, used by knn_graph_derived/semdedup today);
+    - k_cells >  direct_cap: HIERARCHICAL — coarse k1 ≈ √k_cells fit on
+      a ≤256k sample (fit cost bounded regardless of N), broadcast
+      centers + one BLAS mapInPandas pass assigns all N rows, then each
+      coarse cell independently sub-clusters its own rows with a seeded
+      numpy Lloyd (k2 = cell_n/target) inside applyInPandas — total
+      work O(N·√k·d) instead of O(N·k·d), every stage one shuffle.
+
+    Returns (id_col, __cell int/bigint). Deterministic: fixed seeds,
+    sample by hash of id, per-cell rows sorted by id before init."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = emb.select(id_col).count()
+    k_cells = semdedup_k_for(n, target)
+    if k_cells <= direct_cap:
+        feats = emb.withColumn(
+            "__f", array_to_vector(C(vec_col).cast("array<double>")))
+        model = KMeans(k=k_cells, seed=42, maxIter=10, featuresCol="__f",
+                       predictionCol="__cell").fit(feats)
+        return (model.transform(feats)
+                .select(C(id_col),
+                        C("__cell").cast("bigint").alias("__cell")))
+
+    k1 = max(2, int(math.ceil(math.sqrt(k_cells))))
+    frac = min(1.0, 262_144 / n)
+    sample = emb.filter(
+        (F.xxhash64(C(id_col), F.lit(7)) % 1_000_000)
+        < int(frac * 1_000_000)) if frac < 1.0 else emb
+    feats = sample.withColumn(
+        "__f", array_to_vector(C(vec_col).cast("array<double>")))
+    coarse = KMeans(k=k1, seed=42, maxIter=10, featuresCol="__f",
+                    predictionCol="__c").fit(feats)
+    centers = np.stack([np.asarray(c, dtype=np.float64)
+                        for c in coarse.clusterCenters()])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            # argmin ||x-c||² = argmin (||c||² - 2x·c); BLAS matmul
+            d2 = (centers * centers).sum(axis=1)[None, :] - 2.0 * (
+                m @ centers.T)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["__coarse"] = d2.argmin(axis=1).astype("int64")
+            yield pdf
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} bigint, {vec_col} array<float>, "
+                       "__coarse bigint")
+
+    def sub_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        coarse_id = int(pdf["__coarse"].iloc[0])
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        k2 = max(1, len(pdf) // target)
+        if k2 == 1:
+            sub = np.zeros(len(pdf), dtype="int64")
+        else:
+            rng = np.random.default_rng(coarse_id + 1)
+            ctr = m[rng.choice(len(m), size=k2, replace=False)]
+            for _ in range(5):  # bounded Lloyd; cells are ~target²-sized
+                d2 = (ctr * ctr).sum(axis=1)[None, :] - 2.0 * (m @ ctr.T)
+                lab = d2.argmin(axis=1)
+                for j in range(k2):  # recompute non-empty centers
+                    sel = lab == j
+                    if sel.any():
+                        ctr[j] = m[sel].mean(axis=0)
+            sub = lab.astype("int64")
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "__cell": coarse_id * _CELL_STRIDE + sub})
+
+    return (assigned.groupBy("__coarse")
+            .applyInPandas(sub_cluster,
+                           schema=f"{id_col} bigint, __cell bigint"))
