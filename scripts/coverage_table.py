@@ -91,6 +91,8 @@ SECTIONS = [
         "ext_audio_dedup_fingerprint", "ext_video_dedup_scenehash",
         "ext_winsorize", "ext_decontaminate_embedding", "ext_k_anonymity",
         "ext_drift_psi", "ext_contrastive_triplets",
+        "ext_k_anonymity_enforce", "ext_knn_graph_derived",
+        "ext_partition_evolution",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",
