@@ -936,15 +936,27 @@ def semdedup(emb: DataFrame, k_clusters: int | None = None,
 
     if k_clusters is None:
         k_clusters = semdedup_k_for(emb.select(id_col).count())
-    feats = emb.withColumn(
-        "__features", array_to_vector(C(vec_col).cast("array<double>")))
-    model = KMeans(k=k_clusters, seed=42, maxIter=10,
-                   featuresCol="__features",
-                   predictionCol="cluster_id").fit(feats)
-    assigned = (model.transform(feats).drop("__features")
-                .select(C(id_col), C("cluster_id").cast("int"),
-                        C(vec_col), l2_norm(C(vec_col)).alias("__n"))
-                .localCheckpoint())  # pin assignments: reused on both join sides
+    if k_clusters > DERIVED_CELLS_DIRECT_CAP:
+        # Past the single-Lloyd-fit regime: the promised IVF swap is now
+        # CODE, not a docstring — hierarchical cells (derive_cells),
+        # re-joined to the vectors without a broadcast (both sides are
+        # corpus-sized).
+        cells = derive_cells(emb, id_col, vec_col)
+        assigned = (emb.select(id_col, vec_col)
+                    .join(cells.hint("shuffle_hash"), id_col)
+                    .select(C(id_col), C("__cell").alias("cluster_id"),
+                            C(vec_col), l2_norm(C(vec_col)).alias("__n"))
+                    .localCheckpoint())
+    else:
+        feats = emb.withColumn(
+            "__features", array_to_vector(C(vec_col).cast("array<double>")))
+        model = KMeans(k=k_clusters, seed=42, maxIter=10,
+                       featuresCol="__features",
+                       predictionCol="cluster_id").fit(feats)
+        assigned = (model.transform(feats).drop("__features")
+                    .select(C(id_col), C("cluster_id").cast("int"),
+                            C(vec_col), l2_norm(C(vec_col)).alias("__n"))
+                    .localCheckpoint())  # pin: reused on both join sides
     a = assigned.select(C("cluster_id"), C(id_col).alias("a_id"),
                         C(vec_col).alias("a_vec"), C("__n").alias("a_n"))
     b = assigned.select(C("cluster_id").alias("b_cluster"),

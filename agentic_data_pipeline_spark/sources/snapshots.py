@@ -56,9 +56,17 @@ def _normalize_entry(entry) -> dict:
     return entry
 
 
+class SnapshotConflict(RuntimeError):
+    """Another writer published the version this commit raced for.
+    The loser's data files are unreferenced orphans (reclaimed by the
+    next expire_snapshots); retry by re-resolving the parent — see
+    commit_snapshot_with_retry."""
+
+
 def commit_snapshot(df: DataFrame, table_dir: str,
                     mode: str = "append",
-                    partition_by: list[str] | None = None) -> int:
+                    partition_by: list[str] | None = None,
+                    expected_version: int | None = None) -> int:
     """Write ``df``'s rows as new immutable data files and publish the
     next snapshot manifest. ``mode``: "append" (new snapshot = parent's
     files + new files) or "overwrite" (new snapshot = new files only —
@@ -82,7 +90,11 @@ def commit_snapshot(df: DataFrame, table_dir: str,
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     versions = snapshot_versions(table_dir)
-    version = (versions[-1] + 1) if versions else 1
+    latest = versions[-1] if versions else 0
+    if expected_version is not None and latest != expected_version:
+        raise SnapshotConflict(
+            f"expected parent v{expected_version}, table is at v{latest}")
+    version = latest + 1
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
@@ -134,11 +146,42 @@ def commit_snapshot(df: DataFrame, table_dir: str,
                 "spec": partition_by or [],
                 "parent": versions[-1] if versions else None}
     final = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
-    tmp_m = final + ".tmp"
+    tmp_m = final + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp_m, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp_m, final)
+    # Publish via CREATE-IF-ABSENT (os.link fails if final exists) — the
+    # optimistic CAS on the version counter a real catalog service
+    # provides. A concurrent writer that raced to the same version loses
+    # with SnapshotConflict; its data files stay as orphans, invisible to
+    # every reader and reclaimed by the next expire_snapshots.
+    try:
+        os.link(tmp_m, final)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"lost the race publishing v{version}") from None
+    finally:
+        os.unlink(tmp_m)
     return version
+
+
+def commit_snapshot_with_retry(df: DataFrame, table_dir: str,
+                               mode: str = "append",
+                               partition_by: list[str] | None = None,
+                               max_retries: int = 5) -> int:
+    """The standard optimistic-concurrency loop: resolve the parent,
+    attempt the CAS commit, and on conflict re-resolve and retry —
+    sound for append/overwrite because neither mode's file list depends
+    on any row-level merge with the concurrent winner (appends compose;
+    an overwrite that loses must re-read its parent anyway)."""
+    for _ in range(max_retries):
+        latest = (snapshot_versions(table_dir) or [0])[-1]
+        try:
+            return commit_snapshot(df, table_dir, mode, partition_by,
+                                   expected_version=latest)
+        except SnapshotConflict:
+            continue
+    raise SnapshotConflict(
+        f"gave up after {max_retries} conflicting commits")
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

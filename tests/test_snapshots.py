@@ -228,3 +228,58 @@ def test_partition_columns_survive_in_data_files(spark, table):
     back = read_snapshot(spark, table)
     assert set(back.columns) == {"id", "g"}
     assert back.filter("g = '1'").count() == 5
+
+
+# ------------------------------------------- optimistic concurrency (r7)
+
+def test_commit_cas_detects_stale_parent_and_lost_race(spark, table):
+    from agentic_data_pipeline_spark.sources.snapshots import (
+        SnapshotConflict, commit_snapshot_with_retry, read_snapshot,
+    )
+
+    v1 = commit_snapshot(_df(spark, [1, 2]), table, "append")
+    assert v1 == 1
+    # stale expected parent -> conflict BEFORE any manifest is published
+    with pytest.raises(SnapshotConflict):
+        commit_snapshot(_df(spark, [3]), table, "append",
+                        expected_version=0)
+    # correct expected parent -> commits
+    v2 = commit_snapshot(_df(spark, [3]), table, "append",
+                         expected_version=1)
+    assert v2 == 2
+    # retry loop survives a writer that lands between resolve and commit
+    assert commit_snapshot_with_retry(_df(spark, [4]), table) == 3
+    assert sorted(r["id"] for r in read_snapshot(spark, table).collect()) \
+        == [1, 2, 3, 4]
+
+
+def test_lost_race_leaves_only_orphans(spark, table, monkeypatch):
+    """Simulate the true race: a second writer publishes v2 AFTER this
+    writer resolved its parent but BEFORE it links its manifest. The
+    loser must raise, leave NO manifest, and its data files must be
+    invisible orphans that expire_snapshots reclaims."""
+    import agentic_data_pipeline_spark.sources.snapshots as S
+
+    commit_snapshot(_df(spark, [1]), table, "append")
+    real_versions = S.snapshot_versions
+
+    def racing_versions(td):
+        out = real_versions(td)
+        # the rival lands v2 the instant we look (only once)
+        if out == [1]:
+            monkeypatch.setattr(S, "snapshot_versions", real_versions)
+            commit_snapshot(_df(spark, [99]), td, "append")
+            return out  # stale view: we still think latest is v1
+        return out
+
+    monkeypatch.setattr(S, "snapshot_versions", racing_versions)
+    with pytest.raises(S.SnapshotConflict):
+        S.commit_snapshot(_df(spark, [2]), table, "append")
+    # rival's v2 intact; loser published nothing
+    assert real_versions(table) == [1, 2]
+    got = sorted(r["id"] for r in
+                 S.read_snapshot(spark, table).collect())
+    assert got == [1, 99]
+    # loser's data files are orphans; expire reclaims them
+    res = S.expire_snapshots(table, keep_last=2)
+    assert res["files_deleted"] >= 1
