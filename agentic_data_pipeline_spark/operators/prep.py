@@ -629,3 +629,62 @@ def ext_k_anonymity_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qi_nation", "qi_segment", "level", "group_n",
                     ((C("level") == 3) | (C("group_n") >= K_ANON))
                     .alias("satisfies_k")))
+
+
+# --- Differential privacy (the fourth privacy op: redact → pseudonymize
+# → k-anonymity → DP release). Noise must be REPRODUCIBLE to be
+# hash-checkable, so the Laplace draw is pseudorandom from the group key
+# itself: u = md5(key)-derived uniform in (−0.5, 0.5), noise =
+# −b·sign(u)·ln(1−2|u|) — the standard inverse-CDF Laplace transform
+# with scale b = sensitivity/ε. A real deployment swaps the md5 seed for
+# a secret per-release salt (same plan, same cost); the mechanism,
+# sensitivity accounting, and plan shape are what this op verifies.
+DP_EPSILON = 1.0  # per-release budget; sensitivity = 1 (one row → one group)
+
+_DP_DENOM = float(16 ** 12)  # 12 md5 hex chars → 48-bit uniform
+
+
+@op("ext_dp_histogram", oracle=f"""
+    WITH g AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY lang, source
+    ), u AS (
+        SELECT lang, source, n_true,
+               (CAST(('0x' || substring(md5(lang || '|' || source), 1, 12))
+                     AS BIGINT) + 0.5) / {_DP_DENOM} - 0.5 AS uu
+        FROM g
+    )
+    SELECT lang, source, n_true,
+           FLOOR((n_true + (-(1.0 / {DP_EPSILON}) * SIGN(uu)
+                            * LN(1.0 - 2.0 * ABS(uu)))) * 1e6 + 1e-3) / 1e6
+               AS n_noisy
+    FROM u
+""")
+def ext_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram of documents by (lang, source):
+    exact per-group counts plus the Laplace(1/ε)-noised release counts,
+    ε = DP_EPSILON = 1.0, sensitivity 1 (each document lands in exactly one
+    group, so neighboring datasets differ by ±1 in one count).
+
+    The noise is the inverse-CDF Laplace transform of a 48-bit uniform
+    derived from md5(group key) — deterministic, so the DuckDB twin
+    recomputes the identical draw and the release values hash-check
+    end-to-end (the +0.5 on the integer keeps u strictly inside
+    (−0.5, 0.5), so ln never sees 0). Values are display-truncated to
+    6dp (_trunc6 arithmetic) to absorb last-ulp libm ln() differences.
+
+    Scale shape: ONE map-side-combined hash aggregate; the noise is a
+    per-group scalar expression on the (bounded, group-count-sized)
+    aggregate output — cost is invariant in corpus size beyond the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.groupBy("lang", "source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
+    uu = ((F.conv(F.substring(
+            F.md5(F.concat_ws("|", C("lang"), C("source"))), 1, 12), 16, 10)
+           .cast("bigint") + F.lit(0.5)) / F.lit(_DP_DENOM) - F.lit(0.5))
+    noise = (F.lit(-1.0 / DP_EPSILON) * F.signum(uu)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu)))
+    return g.select(
+        "lang", "source", "n_true",
+        (F.floor((C("n_true") + noise) * 1e6 + 1e-3) / 1e6).alias("n_noisy"))

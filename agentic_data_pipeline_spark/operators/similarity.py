@@ -1648,3 +1648,123 @@ def derive_cells(emb: DataFrame, id_col: str = "vec_id",
     return (assigned.groupBy("__coarse")
             .applyInPandas(sub_cluster,
                            schema=f"{id_col} bigint, __cell bigint"))
+
+
+# --- k-center diversity sampling (coreset selection). Training-data
+# curation wants a size-k subset that COVERS the embedding space (every
+# corpus vector near some selected one) rather than a uniform sample that
+# over-draws dense regions; greedy farthest-point traversal is the
+# classic 2-approximation for that k-center objective.
+DIVERSITY_K = 16
+DIVERSITY_SAMPLE_CAP = 2048
+
+
+def kcenter_centers(emb: DataFrame, k: int = DIVERSITY_K,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_cap: int = DIVERSITY_SAMPLE_CAP):
+    """Greedy k-center (farthest-point traversal) fit on a bounded,
+    deterministic sample — the semdedup bounded-sample-fit pattern: the
+    FIT sees ≤ sample_cap vectors (first by id — O(cap·k·d) driver
+    numpy), the ASSIGNMENT runs distributed over the full corpus with
+    the k centers folded into Catalyst expressions. At 100 TB the
+    sample is a per-partition-limited read, the fit stays constant-cost,
+    and nothing else leaves the executors.
+
+    Start = max-L2-norm vector (tie: min id); each step picks the point
+    farthest from its nearest chosen center (tie: min id). Returns
+    (center_ids, centers ndarray [k, d], coverage_radius² history — one
+    entry per pick, non-increasing by construction — and the max id in
+    the fit sample, which identifies the sample set exactly since the
+    sample is the sample_cap smallest unique ids).
+    """
+    import numpy as np
+
+    rows = (emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_cap).collect())
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    sample_max_id = int(ids.max()) if len(ids) else -1
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    start = int(np.lexsort((ids, -(x * x).sum(axis=1)))[0])
+    chosen = [start]
+    d2 = ((x - x[start]) ** 2).sum(axis=1)
+    r_hist = [float(d2.max())]
+    while len(chosen) < min(k, len(ids)):
+        nxt = int(np.lexsort((ids, -d2))[0])
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+        r_hist.append(float(d2.max()))
+    return ids[chosen], x[chosen], r_hist, sample_max_id
+
+
+@op("ext_diversity_sample", oracle=f"""
+    SELECT CAST(COUNT(*) AS INT) AS n_vectors,
+           CAST(LEAST(COUNT(*), {DIVERSITY_SAMPLE_CAP}) AS INT) AS n_sample,
+           CAST({DIVERSITY_K} AS INT) AS n_centers,
+           TRUE AS assigned_ok,
+           TRUE AS separation_ok,
+           TRUE AS monotone_ok,
+           TRUE AS coverage_match_ok
+    FROM embeddings
+""")
+def ext_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center diversity sample over the embeddings table, folded into
+    one bound-checked contract row (the ANN-recall-oracle design —
+    greedy selection is inherently sequential, so there is no SQL value
+    twin, but its INVARIANTS are oracle-checkable booleans).
+
+    Cross-engine-exact fields: n_vectors, n_sample, n_centers.
+    Spark/driver-computed booleans the DuckDB twin asserts TRUE:
+    assigned_ok — every corpus vector got a finite nearest-center
+    distance from the broadcast-literal Catalyst assignment (the
+    distributed half of the op); separation_ok — min pairwise center
+    distance² ≥ final sample coverage radius², the greedy k-center
+    theorem (each center was farther than the final radius from all
+    earlier ones when picked: a shuffled/duplicated pick breaks this);
+    monotone_ok — the coverage-radius history is non-increasing;
+    coverage_match_ok — the SAMPLE coverage radius² recomputed by the
+    distributed Catalyst expression matches the driver numpy fold
+    (relative 1e-6 — the two sum doubles in different orders), tying
+    the distributed assignment to the fit it claims to serve."""
+    import numpy as np
+
+    from ..functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, centers, r_hist, sample_max_id = kcenter_centers(emb)
+    k = len(ids)
+    diffs = centers[:, None, :] - centers[None, :, :]
+    pair_d2 = (diffs ** 2).sum(axis=2)
+    sep2 = float(pair_d2[~np.eye(k, dtype=bool)].min()) if k > 1 else 0.0
+    r_final2 = r_hist[-1]
+    separation_ok = bool(sep2 >= r_final2 * (1 - 1e-9) - 1e-12)
+    monotone_ok = bool(all(b <= a * (1 + 1e-12) + 1e-15
+                           for a, b in zip(r_hist, r_hist[1:])))
+
+    e = C("embedding")
+    dists = []
+    for center in centers:
+        cs = [float(v) for v in center]
+        cn2 = 0.0
+        for v in cs:
+            cn2 += v * v
+        carr = F.array(*[F.lit(v) for v in cs])
+        dists.append(dot(e, e) - 2 * dot(e, carr) + F.lit(cn2))
+    min_d2 = F.least(*dists)
+    # The fit sample is the DIVERSITY_SAMPLE_CAP smallest ids (vec_id is
+    # unique), so vec_id ≤ max(sample id) identifies exactly that set;
+    # n_sample re-counts it distributed as a cross-check.
+    in_sample = C("vec_id") <= F.lit(sample_max_id)
+    agg = emb.agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors"),
+        F.count(F.when(~F.isnan(min_d2) & min_d2.isNotNull(), 1))
+        .alias("__n_assigned"),
+        F.max(F.when(in_sample, min_d2)).alias("__cov2"),
+        F.count(F.when(in_sample, 1)).cast("int").alias("n_sample"))
+    return agg.select(
+        "n_vectors", "n_sample",
+        F.lit(DIVERSITY_K).cast("int").alias("n_centers"),
+        (C("__n_assigned") == C("n_vectors")).alias("assigned_ok"),
+        F.lit(separation_ok).alias("separation_ok"),
+        F.lit(monotone_ok).alias("monotone_ok"),
+        (C("__cov2") <= F.lit(r_final2) * (1 + 1e-6) + F.lit(1e-9))
+        .alias("coverage_match_ok"))

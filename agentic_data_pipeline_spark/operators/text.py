@@ -1076,3 +1076,64 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(C("cnt") / C("n") * 1e6).cast("bigint")
                 .alias("freq_ppm"))
     )
+
+
+# Tokenizer-diagnostics vocab cut. Real deployments size this to the
+# tokenizer's vocabulary (e.g. 50k); the fixture corpus has only 31
+# distinct normalized terms, so 16 keeps the OOV gate demonstrably
+# biting at every sf tier (top-16 ≈ half the fixture vocabulary).
+VOCAB_TOP_K = 16
+
+
+@op("ext_vocab_coverage", oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g')), '\s+')) AS term
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, term FROM w WHERE term <> ''
+    ), vocab AS (
+        SELECT term FROM toks GROUP BY term
+        ORDER BY COUNT(*) DESC, term LIMIT {VOCAB_TOP_K}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY doc_id
+""")
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage: what fraction of a document's
+    normalized tokens fall outside the corpus's top-VOCAB_TOP_K
+    vocabulary — the tokenizer-diagnostics signal (high OOV rate ⇒ the
+    doc will fragment into byte-fallback tokens and waste training
+    sequence budget; it also flags encoding garbage and off-language
+    text the lang-ID heuristic misses).
+
+    Shape at scale: term counts are one map-side-combined aggregate; the
+    vocab cut is a TopK (TakeOrdered — never a full sort) whose result
+    is vocabulary-sized, so the membership probe is a BROADCAST left
+    join against the exploded token stream — the corpus never shuffles
+    for it; the per-doc rollup shuffles once on doc_id. The OOV rate is
+    one IEEE division of exact integer counts, bit-identical on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(norm, r"\s+")).alias("term"))
+            .filter(C("term") != ""))
+    vocab = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("term")).limit(VOCAB_TOP_K)
+             .select("term", F.lit(True).alias("__in_vocab")))
+    probed = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(C("__in_vocab").isNull(), 1).otherwise(0)
+    return (probed.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum(oov).cast("bigint").alias("n_oov"))
+            .select("doc_id", "n_tokens", "n_oov",
+                    (C("n_oov").cast("double")
+                     / C("n_tokens").cast("double")).alias("oov_rate")))

@@ -56,6 +56,19 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # locally pytest-verified either way). Maintained by hand each round from
 # CORRECTNESS_r{N}.json.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- round-7 frontier: ops NEW this round (partition evolution,
+    # derived-blocking kNN, k-anonymity enforcement, triangle counting,
+    # DP histogram, vocab coverage, k-center diversity sampling), then
+    # ops whose ORACLE or implementation changed after their last driver
+    # sample (NULL-safe RI in expectations + the stream gate's
+    # batch-id-derived state, the deterministic LDA fit, the pagerank
+    # out-degree rewrite), then ext_similarity_topk_batch — the one op
+    # whose shared oracle (r5) postdates its last driver row (r3).
+    "ext_partition_evolution", "ext_knn_graph_derived",
+    "ext_k_anonymity_enforce", "ext_triangle_count", "ext_dp_histogram",
+    "ext_vocab_coverage", "ext_diversity_sample",
+    "ext_expectations", "stream_quality_gate", "ext_topic_model",
+    "ext_pagerank", "ext_similarity_topk_batch",
     # --- round-6 frontier: the 11 ops added in r5 after the driver's
     # ~50-op budget was spent (r5 checked positions 1-50 of the r5
     # ordering; these were at 51+). All pass parity_sweep at sf0.01 and
@@ -67,8 +80,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_embed_word2vec", "ext_snapshot_versions", "ext_time_travel_diff",
     # --- new in r6 session 3: data-quality expectation suite, LDA topic
     # model (contract-oracle family), int8 embedding quantization.
-    "ext_expectations", "ext_topic_model", "ext_embedding_quantize",
-    "ext_ann_int8", "stream_quality_gate", "ext_image_dedup_ahash",
+    "ext_embedding_quantize",
+    "ext_ann_int8", "ext_image_dedup_ahash",
     "ext_audio_dedup_fingerprint", "ext_video_dedup_scenehash",
     "ext_winsorize", "ext_decontaminate_embedding", "ext_k_anonymity",
     "ext_drift_psi", "ext_contrastive_triplets",
@@ -88,8 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_clusters_bounded",
     "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
     "ext_bpe_encode", "ext_knn_graph",
-    "ext_dedup_containment", "stream_upsert", "ext_pagerank",
-    "q_intersect_all", "q_except_all", "q_window_dist", "ext_data_profile",
+    "ext_dedup_containment", "stream_upsert", "q_intersect_all", "q_except_all", "q_window_dist", "ext_data_profile",
     "ext_bucketed_join", "ext_histogram_rollup", "ext_sample_fixed_n",
     "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
     "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
@@ -116,8 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_sample_stratified", "ext_train_val_split", "ext_corpus_stats",
     "ext_domain_mix",
     "ext_dedup_embedding", "vector_search_batch",
-    "ext_kmeans_clusters", "ext_similarity_topk_batch",
-    "ext_zorder_cluster", "ext_scd2_history",
+    "ext_kmeans_clusters", "ext_zorder_cluster", "ext_scd2_history",
     "ext_resize", "stream_dedup_watermark",
     # Round-1/2 green
     "ext_inverted_index",
