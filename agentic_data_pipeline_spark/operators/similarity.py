@@ -1571,11 +1571,19 @@ def derive_cells(emb: DataFrame, id_col: str = "vec_id",
     - k_cells <= direct_cap: one MLlib KMeans fit (the fixture path —
       bit-stable seed, used by knn_graph_derived/semdedup today);
     - k_cells >  direct_cap: HIERARCHICAL — coarse k1 ≈ √k_cells fit on
-      a ≤256k sample (fit cost bounded regardless of N), broadcast
-      centers + one BLAS mapInPandas pass assigns all N rows, then each
-      coarse cell independently sub-clusters its own rows with a seeded
-      numpy Lloyd (k2 = cell_n/target) inside applyInPandas — total
-      work O(N·√k·d) instead of O(N·k·d), every stage one shuffle.
+      a ≤256k sample (fit cost bounded regardless of N), coarse
+      assignment of all N rows JVM-SIDE via the fitted model's own
+      transform (broadcast centers — no Python in the full-corpus map
+      pass), then each coarse cell independently sub-clusters its own
+      rows with a seeded numpy Lloyd (k2 = cell_n/target) inside
+      applyInPandas — total work O(N·√k·d) instead of O(N·k·d), every
+      stage one shuffle. The assignment was originally a BLAS
+      mapInPandas that RE-EMITTED the vector column; echoing ~GBs both
+      ways through one worker socket stalled Spark 4.1's multiplexed
+      Python runner at the 8M-vector probe tier (input and output
+      streams saturate together) — model.transform does the same argmin
+      entirely in the JVM and the Python boundary now only ever carries
+      the input-heavy/output-light applyInPandas shape.
 
     Returns (id_col, __cell int/bigint). Deterministic: fixed seeds,
     sample by hash of id, per-cell rows sorted by id before init."""
@@ -1603,24 +1611,12 @@ def derive_cells(emb: DataFrame, id_col: str = "vec_id",
     feats = sample.withColumn(
         "__f", array_to_vector(C(vec_col).cast("array<double>")))
     coarse = KMeans(k=k1, seed=42, maxIter=10, featuresCol="__f",
-                    predictionCol="__c").fit(feats)
-    centers = np.stack([np.asarray(c, dtype=np.float64)
-                        for c in coarse.clusterCenters()])
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
-            # argmin ||x-c||² = argmin (||c||² - 2x·c); BLAS matmul
-            d2 = (centers * centers).sum(axis=1)[None, :] - 2.0 * (
-                m @ centers.T)
-            pdf = pdf[[id_col, vec_col]].copy()
-            pdf["__coarse"] = d2.argmin(axis=1).astype("int64")
-            yield pdf
-
-    assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} bigint, {vec_col} array<float>, "
-                       "__coarse bigint")
+                    predictionCol="__coarse").fit(feats)
+    feats_all = emb.select(id_col, vec_col).withColumn(
+        "__f", array_to_vector(C(vec_col).cast("array<double>")))
+    assigned = (coarse.transform(feats_all)
+                .select(C(id_col), C(vec_col),
+                        C("__coarse").cast("bigint").alias("__coarse")))
 
     def sub_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
