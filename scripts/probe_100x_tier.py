@@ -11,7 +11,15 @@ Synthetic data is generated IN Spark (hash-derived, deterministic):
 - docs: 40 tokens from a 50k vocab; 2% of docs duplicate their
   predecessor (dup pairs are the band join's true signal).
 
-Run: python scripts/probe_100x_tier.py [small]   (small = 1/10 tiers)
+Shuffle partitioning scales with the tier (n/100k, floored at the core
+count): the bench default of 32 is right at sf0.1 but at 10M docs the
+per-task aggregate state (shingle sets / signature buffers) grows into
+~0.5 GB single allocations and the fixed-heap local JVM dies in GC —
+exactly the "partition count is a function of data volume, not cluster
+size" rule a 100 TB deployment lives by.
+
+Run: python scripts/probe_100x_tier.py [small|vectors|docs]
+     (small = 1/10 tiers; vectors/docs = that half only)
 """
 from __future__ import annotations
 
@@ -30,7 +38,8 @@ from agentic_data_pipeline_spark.operators.similarity import (
 from agentic_data_pipeline_spark.session import get_spark
 
 C = F.col
-SMALL = len(sys.argv) > 1 and sys.argv[1] == "small"
+MODE = sys.argv[1] if len(sys.argv) > 1 else "all"
+SMALL = MODE == "small"
 VEC_TIERS = [2_000_000, 8_000_000, 20_000_000]
 DOC_TIERS = [1_000_000, 4_000_000, 10_000_000]
 if SMALL:
@@ -59,7 +68,15 @@ def synth_docs(spark, n):
                                  text.alias("text"))
 
 
+def scale_shuffle(spark, n):
+    """Partition count follows data volume (n/100k, >= core count)."""
+    from agentic_data_pipeline_spark.session import default_parallelism
+    parts = max(default_parallelism(), n // 100_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+
 def vec_tier(spark, n):
+    scale_shuffle(spark, n)
     emb = synth_vectors(spark, n).localCheckpoint()
     t0 = time.perf_counter()
     cells = derive_cells(emb)
@@ -84,6 +101,7 @@ def vec_tier(spark, n):
 
 
 def doc_tier(spark, n):
+    scale_shuffle(spark, n)
     docs = synth_docs(spark, n).localCheckpoint()
     t0 = time.perf_counter()
     pairs = minhash_candidates(docs, "doc_id", "text", 0.5)
@@ -99,12 +117,14 @@ def doc_tier(spark, n):
 def main():
     spark = get_spark(app_name="probe-100x")
     spark.sparkContext.setLogLevel("ERROR")
-    means = [vec_tier(spark, n) for n in VEC_TIERS]
-    print(f"flatness: mean per-cell pairs tier1 -> tier3 ratio "
-          f"{means[-1] / means[0]:.2f} over a "
-          f"{VEC_TIERS[-1] // VEC_TIERS[0]}x corpus", flush=True)
-    for n in DOC_TIERS:
-        doc_tier(spark, n)
+    if MODE != "docs":
+        means = [vec_tier(spark, n) for n in VEC_TIERS]
+        print(f"flatness: mean per-cell pairs tier1 -> tier3 ratio "
+              f"{means[-1] / means[0]:.2f} over a "
+              f"{VEC_TIERS[-1] // VEC_TIERS[0]}x corpus", flush=True)
+    if MODE != "vectors":
+        for n in DOC_TIERS:
+            doc_tier(spark, n)
 
 
 if __name__ == "__main__":
