@@ -688,3 +688,76 @@ def ext_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "lang", "source", "n_true",
         (F.floor((C("n_true") + noise) * 1e6 + 1e-3) / 1e6).alias("n_noisy"))
+
+
+# DP numeric release: the clipped-sum mechanism. Clipping each order's
+# contribution at DP_CLIP bounds the sensitivity of the SUM at DP_CLIP
+# (and of the COUNT at 1), which is what makes a finite noise scale
+# possible at all — the canonical companion to the count histogram.
+DP_CLIP = 300_000.0  # o_totalprice clip; ~60th pct of the fixture range
+
+_DP_MEAN_ORACLE = f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CAST(ROUND(LEAST(o_totalprice, {DP_CLIP}) * 100, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0 AS sum_clipped
+        FROM orders GROUP BY o_orderpriority
+    ), u AS (
+        SELECT o_orderpriority, n_true, sum_clipped,
+               (CAST(('0x' || substring(md5('sum|' || o_orderpriority), 1, 12))
+                     AS BIGINT) + 0.5) / {_DP_DENOM} - 0.5 AS us,
+               (CAST(('0x' || substring(md5('cnt|' || o_orderpriority), 1, 12))
+                     AS BIGINT) + 0.5) / {_DP_DENOM} - 0.5 AS uc
+        FROM g
+    )
+    SELECT o_orderpriority, n_true, sum_clipped,
+           FLOOR(((sum_clipped + (-(2.0 * {DP_CLIP} / {DP_EPSILON})
+                                  * SIGN(us) * LN(1.0 - 2.0 * ABS(us))))
+                  / GREATEST(1.0, n_true + (-(2.0 / {DP_EPSILON}) * SIGN(uc)
+                                            * LN(1.0 - 2.0 * ABS(uc)))))
+                 * 1e6 + 1e-3) / 1e6 AS dp_mean
+    FROM u
+"""
+
+
+@op("ext_dp_mean", oracle=_DP_MEAN_ORACLE)
+def ext_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP mean order value per priority via the clipped-sum mechanism:
+    contributions clipped at DP_CLIP (sum sensitivity DP_CLIP, count
+    sensitivity 1), ε split evenly between the two Laplace draws
+    (scales 2·DP_CLIP/ε and 2/ε), release = noisy_sum / noisy_count.
+
+    Determinism: the clipped sum goes through exact integer cents
+    (DECIMAL-style, order-independent — the money-sum contract), the
+    two noise draws are md5-seeded inverse-CDF Laplace exactly as
+    ext_dp_histogram (distinct 'sum|'/'cnt|' seed prefixes), and the
+    release is one IEEE division truncated to 6dp — so the DuckDB twin
+    recomputes the identical release values and they hash-check.
+    Denominator floored at 1.0 on both engines (tiny-group sanity).
+
+    Scale shape: one map-side-combined aggregate; clip + noise are
+    scalar expressions. Output is group-count-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.least(C("o_totalprice"), F.lit(DP_CLIP)) * 100, 0) \
+        .cast("bigint")
+    g = (orders.groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"),
+              (F.sum(cents).cast("double") / F.lit(100.0))
+              .alias("sum_clipped")))
+
+    def lap(prefix: str, scale: float):
+        u = ((F.conv(F.substring(
+                F.md5(F.concat(F.lit(prefix), C("o_orderpriority"))),
+                1, 12), 16, 10).cast("bigint") + F.lit(0.5))
+             / F.lit(_DP_DENOM) - F.lit(0.5))
+        return (F.lit(-scale) * F.signum(u)
+                * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)))
+
+    noisy_sum = C("sum_clipped") + lap("sum|", 2.0 * DP_CLIP / DP_EPSILON)
+    noisy_cnt = F.greatest(F.lit(1.0),
+                           C("n_true") + lap("cnt|", 2.0 / DP_EPSILON))
+    return g.select(
+        "o_orderpriority", "n_true", "sum_clipped",
+        (F.floor((noisy_sum / noisy_cnt) * 1e6 + 1e-3) / 1e6)
+        .alias("dp_mean"))

@@ -66,7 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # whose shared oracle (r5) postdates its last driver row (r3).
     "ext_partition_evolution", "ext_knn_graph_derived",
     "ext_k_anonymity_enforce", "ext_triangle_count", "ext_dp_histogram",
-    "ext_vocab_coverage", "ext_diversity_sample",
+    "ext_vocab_coverage", "ext_diversity_sample", "ext_dp_mean",
     "ext_expectations", "stream_quality_gate", "ext_topic_model",
     "ext_pagerank", "ext_similarity_topk_batch",
     # --- round-6 frontier: the 11 ops added in r5 after the driver's

@@ -93,8 +93,8 @@ SECTIONS = [
         "ext_drift_psi", "ext_contrastive_triplets",
         "ext_k_anonymity_enforce", "ext_knn_graph_derived",
         "ext_partition_evolution",
-        "ext_triangle_count", "ext_dp_histogram", "ext_vocab_coverage",
-        "ext_diversity_sample",
+        "ext_triangle_count", "ext_dp_histogram", "ext_dp_mean",
+        "ext_vocab_coverage", "ext_diversity_sample",
     ]),
     ("Approximate aggregation (beyond-reference, 100 TB surface)", [
         "q_approx_agg", "ext_hll_rollup", "ext_histogram_rollup",

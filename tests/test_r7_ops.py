@@ -148,3 +148,17 @@ def test_diversity_sample_contract_row(spark):
     assert r["monotone_ok"] and r["coverage_match_ok"]
     assert r["n_centers"] == 16
     assert r["n_sample"] == min(r["n_vectors"], 2048)
+
+
+def test_dp_mean_reproducible_and_sane(spark):
+    op = OPS["ext_dp_mean"]
+    r1 = {r["o_orderpriority"]: r for r in op.fn(spark, SF_SMOKE).collect()}
+    r2 = {r["o_orderpriority"]: r for r in op.fn(spark, SF_SMOKE).collect()}
+    assert r1.keys() == r2.keys() and len(r1) == 5
+    for k in r1:
+        assert r1[k]["dp_mean"] == r2[k]["dp_mean"]  # reproducible draw
+        true_mean = r1[k]["sum_clipped"] / r1[k]["n_true"]
+        # Laplace(2C/eps) noise / n: at n≈300 (sf0.001) the release sits
+        # within ~6 scale units of the clipped mean w.h.p.
+        assert abs(r1[k]["dp_mean"] - true_mean) < 6 * 2 * 300_000.0 / r1[k]["n_true"]
+        assert r1[k]["sum_clipped"] <= 300_000.0 * r1[k]["n_true"]
