@@ -340,3 +340,43 @@ def test_partitioned_write_prunes_partitions(spark):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "event_type" in m.group(1)
+
+
+def test_dp_release_single_aggregate_no_python(spark):
+    # DP histogram/mean: ONE map-side-combined hash aggregate; noise is a
+    # scalar expression over the bounded aggregate output — no Python, no
+    # second exchange, no join.
+    for op_id in ("ext_dp_histogram", "ext_dp_mean"):
+        p = plan_of(spark, op_id)
+        assert "EvalPython" not in p, op_id
+        # formatted output mentions each node twice (tree + details):
+        # exactly ONE Exchange node = 2 mentions
+        assert p.count("Exchange") == 2, op_id
+        assert p.count("HashAggregate") == 4, op_id  # partial + final
+
+
+def test_vocab_coverage_vocab_broadcasts(spark):
+    # The top-K vocab probe must be a BROADCAST join against the exploded
+    # token stream (the corpus never shuffles for membership), and the
+    # vocab cut must be a TakeOrdered, never a global sort.
+    p = plan_of(spark, "ext_vocab_coverage")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_diversity_assignment_is_jvm_literal_fold(spark):
+    # The k-center assignment folds 16 literal centers into Catalyst
+    # expressions: no Python stage, no join — one aggregate over the scan.
+    p = plan_of(spark, "ext_diversity_sample")
+    assert "EvalPython" not in p
+    assert "Join" not in p.split("== Physical Plan ==")[-1].split(
+        "===== Subqueries =====")[0]
+
+
+def test_triangle_count_no_python_no_cartesian(spark):
+    p = plan_of(spark, "ext_triangle_count")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
