@@ -636,9 +636,18 @@ def ext_k_anonymity_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-checkable, so the Laplace draw is pseudorandom from the group key
 # itself: u = md5(key)-derived uniform in (−0.5, 0.5), noise =
 # −b·sign(u)·ln(1−2|u|) — the standard inverse-CDF Laplace transform
-# with scale b = sensitivity/ε. A real deployment swaps the md5 seed for
-# a secret per-release salt (same plan, same cost); the mechanism,
-# sensitivity accounting, and plan shape are what this op verifies.
+# with scale b = sensitivity/ε.
+#
+# WHAT THESE OPS VERIFY — and what they do not. The released values here
+# are NOT private: the noise is a deterministic function of the public
+# group key (so it is reused identically across releases of neighboring
+# datasets, which breaks the DP guarantee), and the exact n_true /
+# sum_clipped are emitted alongside the release for the oracle. These ops
+# verify the MECHANISM SHAPE — sensitivity accounting, noise scale,
+# clipping, single-aggregate plan — end-to-end against a second engine.
+# A real ε-DP release must (a) draw fresh cryptographic randomness per
+# release (key-seeded noise, even secret-salted, is NOT sufficient), and
+# (b) emit ONLY the noisy values, dropping n_true / sum_clipped.
 DP_EPSILON = 1.0  # per-release budget; sensitivity = 1 (one row → one group)
 
 _DP_DENOM = float(16 ** 12)  # 12 md5 hex chars → 48-bit uniform
@@ -650,7 +659,8 @@ _DP_DENOM = float(16 ** 12)  # 12 md5 hex chars → 48-bit uniform
         FROM documents GROUP BY lang, source
     ), u AS (
         SELECT lang, source, n_true,
-               (CAST(('0x' || substring(md5(lang || '|' || source), 1, 12))
+               (CAST(('0x' || substring(md5(COALESCE(lang, '') || '|'
+                                            || COALESCE(source, '')), 1, 12))
                      AS BIGINT) + 0.5) / {_DP_DENOM} - 0.5 AS uu
         FROM g
     )
@@ -661,10 +671,13 @@ _DP_DENOM = float(16 ** 12)  # 12 md5 hex chars → 48-bit uniform
     FROM u
 """)
 def ext_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private histogram of documents by (lang, source):
-    exact per-group counts plus the Laplace(1/ε)-noised release counts,
-    ε = DP_EPSILON = 1.0, sensitivity 1 (each document lands in exactly one
-    group, so neighboring datasets differ by ±1 in one count).
+    """Laplace-histogram MECHANISM of documents by (lang, source) — the
+    shape of an ε-DP count release, verified cross-engine; NOT itself a
+    private release (see the module note above: deterministic key-seeded
+    noise + exact n_true in the output). Exact per-group counts plus the
+    Laplace(1/ε)-noised counts, ε = DP_EPSILON = 1.0, sensitivity 1 (each
+    document lands in exactly one group, so neighboring datasets differ
+    by ±1 in one count).
 
     The noise is the inverse-CDF Laplace transform of a 48-bit uniform
     derived from md5(group key) — deterministic, so the DuckDB twin
@@ -680,8 +693,12 @@ def ext_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = (docs.groupBy("lang", "source")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
-    uu = ((F.conv(F.substring(
-            F.md5(F.concat_ws("|", C("lang"), C("source"))), 1, 12), 16, 10)
+    # NULL keys normalize to '' on BOTH engines: concat_ws would silently
+    # skip a NULL (giving (NULL,'x') and ('x',NULL) identical seeds) while
+    # the oracle's || would propagate NULL into the whole draw.
+    key = F.concat_ws("|", F.coalesce(C("lang"), F.lit("")),
+                      F.coalesce(C("source"), F.lit("")))
+    uu = ((F.conv(F.substring(F.md5(key), 1, 12), 16, 10)
            .cast("bigint") + F.lit(0.5)) / F.lit(_DP_DENOM) - F.lit(0.5))
     noise = (F.lit(-1.0 / DP_EPSILON) * F.signum(uu)
              * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu)))
@@ -723,7 +740,8 @@ _DP_MEAN_ORACLE = f"""
 
 @op("ext_dp_mean", oracle=_DP_MEAN_ORACLE)
 def ext_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-DP mean order value per priority via the clipped-sum mechanism:
+    """Clipped-sum mean-release MECHANISM per order priority (the shape
+    of an ε-DP mean; not itself private — see the module note above):
     contributions clipped at DP_CLIP (sum sensitivity DP_CLIP, count
     sensitivity 1), ε split evenly between the two Laplace draws
     (scales 2·DP_CLIP/ε and 2/ε), release = noisy_sum / noisy_count.

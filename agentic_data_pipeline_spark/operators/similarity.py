@@ -1686,6 +1686,11 @@ def kcenter_centers(emb: DataFrame, k: int = DIVERSITY_K,
     r_hist = [float(d2.max())]
     while len(chosen) < min(k, len(ids)):
         nxt = int(np.lexsort((ids, -d2))[0])
+        if d2[nxt] <= 0.0:
+            # every residual point is distance-0 from a chosen center
+            # (duplicate-heavy sample): a further pick would duplicate a
+            # center id, so the fit stops with fewer than k centers.
+            break
         chosen.append(nxt)
         d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
         r_hist.append(float(d2.max()))
@@ -1695,7 +1700,9 @@ def kcenter_centers(emb: DataFrame, k: int = DIVERSITY_K,
 @op("ext_diversity_sample", oracle=f"""
     SELECT CAST(COUNT(*) AS INT) AS n_vectors,
            CAST(LEAST(COUNT(*), {DIVERSITY_SAMPLE_CAP}) AS INT) AS n_sample,
-           CAST({DIVERSITY_K} AS INT) AS n_centers,
+           CAST(LEAST({DIVERSITY_K},
+                      LEAST(COUNT(*), {DIVERSITY_SAMPLE_CAP})) AS INT)
+               AS n_centers,
            TRUE AS assigned_ok,
            TRUE AS separation_ok,
            TRUE AS monotone_ok,
@@ -1758,9 +1765,12 @@ def ext_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(in_sample, 1)).cast("int").alias("n_sample"))
     return agg.select(
         "n_vectors", "n_sample",
-        F.lit(DIVERSITY_K).cast("int").alias("n_centers"),
+        F.lit(int(k)).cast("int").alias("n_centers"),
         (C("__n_assigned") == C("n_vectors")).alias("assigned_ok"),
         F.lit(separation_ok).alias("separation_ok"),
         F.lit(monotone_ok).alias("monotone_ok"),
-        (C("__cov2") <= F.lit(r_final2) * (1 + 1e-6) + F.lit(1e-9))
+        # Two-sided: an underestimating distributed distance expression
+        # (e.g. a broken dot()) must fail the contract, not pass silently.
+        ((C("__cov2") <= F.lit(r_final2) * (1 + 1e-6) + F.lit(1e-9))
+         & (C("__cov2") >= F.lit(r_final2) * (1 - 1e-6) - F.lit(1e-9)))
         .alias("coverage_match_ok"))
