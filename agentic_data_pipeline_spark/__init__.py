@@ -13,12 +13,12 @@ Layers:
 """
 
 from .catalog import load_table, numeric_columns, register_views
-from .registry import all_oracles, all_queries
+from .registry import all_oracles, all_ops_queries, all_queries
 from .session import get_spark, tune
 
 __all__ = [
     "get_spark", "tune", "load_table", "register_views", "numeric_columns",
-    "all_queries", "all_oracles",
+    "all_queries", "all_oracles", "all_ops_queries",
 ]
 
 __version__ = "0.1.0"

@@ -287,17 +287,24 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("ext_dedup_minhash")  # rows-only: xxhash64 signatures aren't in DuckDB
+@op("ext_dedup_minhash", driver_visible=False)  # rows-only by design:
+# xxhash64 signatures aren't in DuckDB. Driver verification runs through
+# the hash-green twin ext_dedup_minhash_md5 (identical LSH construction,
+# md5 hash family); pytest pins this production path's verified-pair set.
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH fuzzy dedup over documents (J ≥ 0.5 verified pairs)."""
+    """MinHash-LSH fuzzy dedup over documents (J ≥ 0.5 verified pairs).
+    Driver-verified via ext_dedup_minhash_md5 (same construction, md5)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidates(docs, "doc_id", "text", jaccard_threshold=0.5) \
         .orderBy("a_id", "b_id")
 
 
-@op("ext_dedup_simhash")  # rows-only: xxhash64-based
+@op("ext_dedup_simhash", driver_visible=False)  # rows-only by design:
+# xxhash64-based. Driver verification runs through the hash-green twin
+# ext_dedup_simhash_md5 (identical construction, md5 hash family).
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fuzzy dedup over documents (Hamming ≤ 3 pairs)."""
+    """SimHash fuzzy dedup over documents (Hamming ≤ 3 pairs).
+    Driver-verified via ext_dedup_simhash_md5 (same construction, md5)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(docs, "doc_id", "text", max_hamming=3) \
         .orderBy("a_id", "b_id")
@@ -1079,9 +1086,11 @@ def ext_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("ext_dedup_minhash_clusters")  # rows-only: LSH banding is xxhash64-
-                                   # based (no DuckDB twin); composition
-                                   # pinned by tests/test_dedup_clusters.py
+@op("ext_dedup_minhash_clusters", driver_visible=False)  # rows-only by
+# design: LSH banding is xxhash64-based (no DuckDB twin). Driver
+# verification runs through ext_dedup_clusters_bounded (hash-green md5
+# construction of the same candidates→verify→CC→survivor composition);
+# this production path is pinned by tests/test_dedup_clusters.py.
 def ext_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup DELIVERABLE: MinHash-LSH candidates → exact
     Jaccard verification (both inside minhash_candidates) → connected

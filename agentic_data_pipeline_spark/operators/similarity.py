@@ -793,7 +793,9 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_LSH_RECALL_FLOOR)
 
 
-@op("ext_kmeans_clusters")  # rows-only: float iteration order is engine-local
+@op("ext_kmeans_clusters", driver_visible=False)  # rows-only by design:
+# float iteration order is engine-local. Driver verification runs through
+# the hash-green ext_kmeans_contract (same fit, invariants oracle-checked).
 def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering: MLlib k-means over the embedding column (fixed
     seed), emitting per-cluster size and centroid norm — the standard
@@ -973,9 +975,12 @@ def semdedup(emb: DataFrame, k_clusters: int | None = None,
             .fillna(True, ["kept"]))
 
 
-@op("ext_semdedup")  # rows-only: k-means assignment is engine-local (fixed
-                     # seed, but no SQL twin); pytest re-derives the keep
-                     # set from the op's own assignments with numpy
+@op("ext_semdedup", driver_visible=False)  # rows-only by design: k-means
+# assignment is engine-local (fixed seed, but no SQL twin). Driver
+# verification runs through the hash-green ext_semdedup_contract, which
+# executes THIS REAL semdedup and oracle-checks its invariants; pytest
+# additionally re-derives the keep set from the op's own assignments
+# with numpy. bench.py still times this per-vector op directly.
 def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup over the embeddings table (see semdedup): per-vector
     (vec_id, cluster_id, kept) decisions, cosine threshold 0.35, k derived

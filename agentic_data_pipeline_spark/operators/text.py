@@ -659,25 +659,90 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, int]],
                         F.length(C("token")).cast("bigint")))
 
 
-@op("ext_bpe_encode")  # rows-only: tokens depend on the iteratively-learned
-                       # merge table (not one SQL query); pytest pins the
-                       # full token histogram against a pure-Python encoder
+def _bpe_oracle_cte(n_merges: int = 5) -> str:
+    """Unrolled DuckDB CTE chain replaying the BPE trainer exactly: wf0 is
+    the word-frequency table as space-joined symbols; each stage k takes
+    the argmax pair under the SAME total order as the Spark loop (count
+    DESC, pair ASC — r7 verdict item 4: the total order is what makes the
+    iterative fit oracle-checkable) and applies the merge.
+
+    Merge application twin: Spark uses the Java-regex boundary guards
+    (?<!\\S)a b(?!\\S) (non-consuming); DuckDB's RE2 has no lookarounds, so
+    the twin pads the symbol string with spaces and runs plain
+    replace(' a b ' → ' ab ') TWICE. One consuming pass misses every
+    occurrence whose leading space the previous replacement consumed —
+    but missed occurrences are never adjacent (a miss requires the
+    IMMEDIATELY preceding overlapping occurrence to have merged), so one
+    more pass catches them all, and a merge can never create a new
+    occurrence of its own pair (a+b == a or == b is impossible for
+    nonempty symbols). Hence two passes ≡ the guarded regex replace-all.
+    Symbols are [a-z]+ by normalization, so plain (non-regex) replace is
+    exact."""
+    parts = [r"""wf0 AS (
+        SELECT array_to_string(string_split(w, ''), ' ') AS sym,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(regexp_replace(
+                     lower(text), '[^a-z]+', ' ', 'g')), '\s+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY 1
+    )"""]
+    for k in range(1, n_merges + 1):
+        merged = "' ' || replace(m.pair, ' ', '') || ' '"
+        parts.append(f"""m{k} AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                            i -> s[i] || ' ' || s[i+1])) AS pair, freq
+              FROM (SELECT string_split(sym, ' ') AS s, freq FROM wf{k - 1}))
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )""")
+        parts.append(f"""wf{k} AS (
+        SELECT trim(replace(replace(' ' || sym || ' ',
+                                    ' ' || m.pair || ' ', {merged}),
+                            ' ' || m.pair || ' ', {merged})) AS sym, freq
+        FROM wf{k - 1}, m{k} m
+    )""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+_BPE_N_MERGES = 5
+
+_BPE_MERGES_ORACLE = (_bpe_oracle_cte(_BPE_N_MERGES) + "\n    "
+                      + "\n    UNION ALL ".join(
+                          f"SELECT CAST({k} AS INT) AS step, pair, "
+                          f"n AS freq FROM m{k}"
+                          for k in range(1, _BPE_N_MERGES + 1)))
+
+_BPE_ENCODE_ORACLE = _bpe_oracle_cte(_BPE_N_MERGES) + f"""
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+           CAST(LENGTH(token) AS BIGINT) AS token_len
+    FROM (SELECT unnest(string_split(sym, ' ')) AS token, freq
+          FROM wf{_BPE_N_MERGES})
+    GROUP BY token"""
+
+
+@op("ext_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
 def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency table under the 5-rule BPE tokenizer learned
-    by ext_bpe_merges on the same corpus (see bpe_encode)."""
+    by ext_bpe_merges on the same corpus (see bpe_encode). Hash-oracled
+    since r8: the trainer's argmax is a TOTAL order (count DESC, pair
+    ASC), so the DuckDB twin replays the whole fit + encode exactly
+    (see _bpe_oracle_cte); pytest additionally pins the histogram
+    against a pure-Python encoder."""
     docs = load_table(spark, sf_dir, "documents")
-    rules = bpe_merges(docs, "text", n_merges=5)
+    rules = bpe_merges(docs, "text", n_merges=_BPE_N_MERGES)
     return bpe_encode(docs, rules, "text")
 
 
-@op("ext_bpe_merges")  # rows-only: iterative argmax isn't one SQL query;
-                       # pytest pins the rules against a pure-Python
-                       # reference BPE on the same corpus
+@op("ext_bpe_merges", oracle=_BPE_MERGES_ORACLE)
 def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 5 BPE merge rules learned over documents.text (see
-    bpe_merges for the distributed iteration shape)."""
+    bpe_merges for the distributed iteration shape). Hash-oracled since
+    r8 — the argmax total order (count DESC, pair ASC) makes the learned
+    rule table cross-engine exact (see _bpe_oracle_cte); pytest pins the
+    rules against a pure-Python reference BPE too."""
     docs = load_table(spark, sf_dir, "documents")
-    rules = bpe_merges(docs, "text", n_merges=5)
+    rules = bpe_merges(docs, "text", n_merges=_BPE_N_MERGES)
     return spark.createDataFrame(
         rules, "step int, pair string, freq bigint")
 
@@ -768,9 +833,11 @@ def ext_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- embedding training
 
 
-@op("ext_word2vec_train")  # rows-only: learned float vectors have no SQL
-                           # twin; pytest pins vocabulary construction,
-                           # dimensionality, and deterministic re-fit
+@op("ext_word2vec_train", driver_visible=False)  # rows-only by design:
+# learned float vectors have no SQL twin. Driver verification runs
+# through the hash-green ext_word2vec_contract below (same fit; vocab
+# construction + dim + norm invariants oracle-checked); pytest pins
+# vocabulary construction, dimensionality, and deterministic re-fit.
 def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train word embeddings over the corpus (MLlib Word2Vec, skip-gram):
     the upstream producer of every embedding-consuming op in the surface
@@ -799,6 +866,65 @@ def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sqrt(F.aggregate(
                         F.transform(arr, lambda x: x * x),
                         F.lit(0.0), lambda a, x: a + x)), 6).alias("l2")))
+
+
+@op("ext_word2vec_contract", oracle=r"""
+    WITH v AS (
+        SELECT w
+        FROM (SELECT unnest(string_split(trim(regexp_replace(
+                     lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w
+              FROM documents)
+        GROUP BY w HAVING COUNT(*) >= 5
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_vocab,
+           CAST(32 AS INT) AS dim,
+           TRUE AS vocab_match_ok,
+           TRUE AS dims_ok,
+           TRUE AS norms_ok
+    FROM v
+""")
+def ext_word2vec_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashed contract for ext_word2vec_train (the kmeans-contract
+    design, r7 verdict item 4): runs the SAME MLlib Word2Vec fit and folds
+    it into one bound-checked row.
+
+    Cross-engine-exact field: n_vocab — MLlib's vocabulary is exactly the
+    tokens with corpus count ≥ minCount(5) under the op's normalization,
+    which the DuckDB twin re-derives in SQL; the emitted value is the
+    MODEL's vector count, so a vocab-construction drift in the trainer
+    fails the driver hash, not just a boolean. Spark-computed booleans the
+    twin asserts TRUE: vocab_match_ok (model vocabulary == SQL-derived
+    expected set, both directions, via null-counting full outer join);
+    dims_ok (every learned vector has exactly vectorSize=32 components);
+    norms_ok (every vector norm is finite and > 0 — a collapsed or NaN
+    fit fails here)."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z]+", " ")),
+        " ").alias("words"))
+    model = Word2Vec(vectorSize=32, minCount=5, seed=42, numPartitions=1,
+                     maxIter=2, inputCol="words", outputCol="v").fit(toks)
+    arr = vector_to_array(C("vector"))
+    norm2 = F.aggregate(F.transform(arr, lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)
+    vecs = model.getVectors().select(
+        "word", F.size(arr).alias("__d"), norm2.alias("__n2"))
+    expected = (toks.select(F.explode(C("words")).alias("word"))
+                .groupBy("word").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(C("__c") >= 5).select("word"))
+    joined = vecs.join(expected.withColumn("__exp", F.lit(1)),
+                       "word", "full")
+    return joined.agg(
+        F.count("__d").cast("int").alias("n_vocab"),
+        F.lit(32).cast("int").alias("dim"),
+        (F.count(F.when(C("__d").isNull() | C("__exp").isNull(), 1)) == 0)
+        .alias("vocab_match_ok"),
+        (F.min(C("__d") == 32) & F.max(C("__d") == 32)).alias("dims_ok"),
+        F.coalesce(F.min((C("__n2") > 0) & ~F.isnan(C("__n2"))),
+                   F.lit(False)).alias("norms_ok"))
 
 
 # ------------------------------------------------------------- BM25 search

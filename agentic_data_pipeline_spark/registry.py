@@ -30,20 +30,33 @@ class Op:
     oracle: str | None = None
     tags: tuple[str, ...] = field(default=tuple)
     doc: str = ""
+    # False for ops that are rows-only BY DESIGN (engine-local hash/model
+    # state, no SQL twin possible) and whose values are instead verified
+    # through a hash-green oracle twin (e.g. ext_semdedup →
+    # ext_semdedup_contract, ext_dedup_minhash → ext_dedup_minhash_md5).
+    # Hidden ops stay registered (bench, pytest, COVERAGE.md all see
+    # them); they are only excluded from the driver's queries() surface so
+    # the per-round verification budget is never spent on a row that can
+    # only ever come back `no_oracle` (r7 verdict item 3).
+    driver_visible: bool = True
 
 
 OPS: dict[str, Op] = {}
 
 
-def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+       driver_visible: bool = True):
     """Decorator: register a query op. ``oracle`` is DuckDB SQL or None for
-    ops that are not SQL-expressible (driver then does a rows-only check)."""
+    ops that are not SQL-expressible. ``driver_visible=False`` keeps a
+    by-design rows-only op out of the driver surface — REQUIRED: such an
+    op must name its hash-green verifying twin in its docstring."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if op_id in OPS:
             raise ValueError(f"duplicate op id: {op_id}")
         OPS[op_id] = Op(op_id=op_id, fn=fn, oracle=oracle,
-                        tags=tags, doc=(fn.__doc__ or "").strip())
+                        tags=tags, doc=(fn.__doc__ or "").strip(),
+                        driver_visible=driver_visible)
         return fn
 
     return deco
@@ -158,12 +171,22 @@ def _ordered_ops() -> dict[str, Op]:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """The driver-facing queries() surface: every registered op except the
+    driver_visible=False ones (rows-only by design, verified through their
+    hash-green contract twins — see Op.driver_visible)."""
+    return {k: v.fn for k, v in _ordered_ops().items() if v.driver_visible}
+
+
+def all_ops_queries() -> dict[str, QueryFn]:
+    """EVERY registered op including driver-hidden ones — the surface
+    bench.py and pytest run (the hidden ops' real plans are what the
+    benchmarks time; only driver verification goes through the twins)."""
     return {k: v.fn for k, v in _ordered_ops().items()}
 
 
 def all_oracles() -> dict[str, str]:
     return {k: v.oracle for k, v in _ordered_ops().items()
-            if v.oracle is not None}
+            if v.oracle is not None and v.driver_visible}
 
 
 _loaded = False

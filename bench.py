@@ -154,12 +154,12 @@ def write_detail(artifact: dict, tag: str) -> str | None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from agentic_data_pipeline_spark.registry import all_queries
+    from agentic_data_pipeline_spark.registry import all_ops_queries
     from agentic_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="adps-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    queries = all_ops_queries()
 
     # Prepared plans for declarative queries; REBUILD ops reconstruct.
     dfs = {name: queries[name](spark, sf_dir)
