@@ -1,14 +1,44 @@
-"""COVERAGE.md must list every registered op (regenerate with
-scripts/coverage_table.py) — the judge reads it against SURVEY.md §2."""
+"""COVERAGE.md is content-pinned to scripts/coverage_table.py's render()
+(r7 verdict item 7): the driver-evidence column is regenerated from the
+CORRECTNESS_r*.json union on every test run, so the committed doc can
+never silently drift from the artifacts. Regenerate with
+``python scripts/coverage_table.py`` whenever this fails."""
+
+import importlib.util
+import os
 
 from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def test_coverage_md_is_current():
+
+def _coverage_module():
+    spec = importlib.util.spec_from_file_location(
+        "coverage_table", os.path.join(REPO, "scripts", "coverage_table.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_coverage_md_matches_generator_exactly():
     _ensure_loaded()
-    text = open("/root/repo/COVERAGE.md").read()
+    committed = open(os.path.join(REPO, "COVERAGE.md")).read()
+    expected = _coverage_module().render()
+    if committed != expected:
+        import difflib
+        diff = "\n".join(difflib.unified_diff(
+            committed.splitlines(), expected.splitlines(),
+            "COVERAGE.md (committed)", "render() (expected)", lineterm="",
+            n=0))
+        raise AssertionError(
+            "COVERAGE.md is stale — run `python scripts/coverage_table.py` "
+            f"and commit. Diff:\n{diff[:4000]}")
+
+
+def test_coverage_md_lists_every_op():
+    _ensure_loaded()
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [op for op in OPS if f"`{op}`" not in text]
     assert not missing, (
-        f"ops missing from COVERAGE.md (run scripts/coverage_table.py): {missing}")
-    n_oracle = sum(1 for o in OPS.values() if o.oracle)
-    assert f"{len(OPS)} ops; {n_oracle} oracle-checked" in text
+        f"ops missing from COVERAGE.md (run scripts/coverage_table.py): "
+        f"{missing}")
