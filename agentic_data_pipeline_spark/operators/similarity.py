@@ -1608,6 +1608,15 @@ def derive_cells(emb: DataFrame, id_col: str = "vec_id",
                 .select(C(id_col),
                         C("__cell").cast("bigint").alias("__cell")))
 
+    # Past the direct cap the corpus is probe-tier-sized (millions of
+    # rows): size the shuffle to the data volume from INSIDE the engine
+    # path (r7 verdict item 8 — the n/100k rule the 100×-tier probe
+    # validated lives in session.scaled_shuffle_partitions now, so a
+    # caller that never read the probe scripts still gets task-state
+    # bounded per partition; AQE coalesces any excess).
+    from ..session import apply_scaled_shuffle
+    apply_scaled_shuffle(emb.sparkSession, n)
+
     k1 = max(2, int(math.ceil(math.sqrt(k_cells))))
     frac = min(1.0, 262_144 / n)
     sample = emb.filter(

@@ -68,6 +68,36 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+# Rows per shuffle partition for wide aggregates/joins over synthetic or
+# estimated row counts. Measured, not guessed: at the 10M-doc / 20M-vector
+# 100×-tier probes (BASELINE.md round 7), 32 fixed partitions put ~0.5 GB
+# of aggregation state in each task and the probe died in GC; n/100k keeps
+# per-task state ~constant as data grows (the 4M-doc dedup tier dropped
+# 239 s → 90 s on this alone). 100k rows/partition ≈ tens of MB for the
+# fixture-shaped rows — comfortably in-memory with headroom for skew.
+SHUFFLE_ROWS_PER_PARTITION = 100_000
+
+
+def scaled_shuffle_partitions(est_rows: int) -> int:
+    """Shuffle-partition count that FOLLOWS DATA VOLUME instead of core
+    count: max(cores, est_rows / SHUFFLE_ROWS_PER_PARTITION). This is the
+    engine rule the 100×-tier probes validated (r7 verdict item 8); heavy
+    ops' documented 100 TB paths, scripts/bench_sf1.py, and the probe
+    scripts all route through it. On a real cluster the deployment's AQE
+    coalescing trims any excess back down — overshooting is cheap,
+    undershooting is GC death."""
+    return max(default_parallelism(),
+               int(est_rows) // SHUFFLE_ROWS_PER_PARTITION)
+
+
+def apply_scaled_shuffle(spark: SparkSession, est_rows: int) -> int:
+    """Set spark.sql.shuffle.partitions by the scaled rule; returns the
+    value applied."""
+    parts = scaled_shuffle_partitions(est_rows)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
+
 def get_spark(app_name: str = "agentic-data-pipeline-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:

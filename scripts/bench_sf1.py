@@ -111,6 +111,16 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark(app_name="adps-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
+    # Shuffle-partition count follows the tier's data volume (the engine
+    # rule, session.scaled_shuffle_partitions — r7 verdict item 8). Sized
+    # by the biggest fact table's row count from parquet footer metadata
+    # (no scan): sf1 lineitem ~6M rows → 60 partitions on 32 cores.
+    import pyarrow.parquet as pq
+
+    from agentic_data_pipeline_spark.session import apply_scaled_shuffle
+    n_fact = pq.ParquetFile(
+        os.path.join(DST, "lineitem.parquet")).metadata.num_rows
+    n_parts = apply_scaled_shuffle(spark, n_fact)
     dfs = {n: OPS[n].fn(spark, DST) for n in HEADLINE if n not in REBUILD}
 
     def run(name: str) -> float:
@@ -153,6 +163,7 @@ def main() -> None:
         "spark_over_duckdb_ratio": round(s / d, 3) if d else None,
         "classic15_ratio": round(cs / cd, 3) if cd else None,
         "skipped": SKIPPED,
+        "shuffle_partitions": n_parts,
         "invocation_unix": round(time.time(), 1),
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }

@@ -69,10 +69,10 @@ def synth_docs(spark, n):
 
 
 def scale_shuffle(spark, n):
-    """Partition count follows data volume (n/100k, >= core count)."""
-    from agentic_data_pipeline_spark.session import default_parallelism
-    parts = max(default_parallelism(), n // 100_000)
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    """Partition count follows data volume — the ENGINE rule (r8: promoted
+    from this probe into session.apply_scaled_shuffle)."""
+    from agentic_data_pipeline_spark.session import apply_scaled_shuffle
+    apply_scaled_shuffle(spark, n)
 
 
 def vec_tier(spark, n):
