@@ -30,6 +30,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words|numbers|punct
 _PUNCT_RE = r"[^A-Za-z0-9\s]"
 
+# translate()-based byte-op twin of _PUNCT_RE (r7 verdict item 2): deleting
+# every alphanumeric + Java-\s whitespace char ([ \t\n\x0B\f\r]) leaves
+# exactly the _PUNCT_RE matches, as a per-char table lookup instead of a
+# regex scan. The DuckDB twin spells the control chars with chr() so both
+# engines share the identical deletion set by construction.
+import string as _string
+
+_ALNUM_WS = (_string.ascii_uppercase + _string.ascii_lowercase
+             + _string.digits + " \t\n\x0b\x0c\r")
+_DUCK_ALNUM_WS = ("'" + _string.ascii_uppercase + _string.ascii_lowercase
+                  + _string.digits + " '"
+                  + " || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)")
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of non-empty text (JVM split)."""
@@ -63,28 +76,39 @@ def _duck_hits(markers: list[str]) -> str:
             f"t -> list_contains({arr}, t)))")
 
 
-@op("ext_text_stats", oracle=r"""
+@op("ext_text_stats", oracle=rf"""
     SELECT doc_id,
            CAST(LENGTH(text) AS INT)                                  AS n_chars,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)    AS n_words,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT)
+           CAST(len(regexp_extract_all(trim(text), '\s+')) + 1 AS INT)
+               AS n_words,
+           CAST(LENGTH(translate(text, {_DUCK_ALNUM_WS}, '')) AS INT)
                AS n_punct,
-           FLOOR(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+           FLOOR(CAST(LENGTH(translate(text, {_DUCK_ALNUM_WS}, '')) AS DOUBLE)
                  / LENGTH(text) * 1e6) / 1e6                          AS punct_ratio,
            FLOOR(CAST(LENGTH(text) AS DOUBLE)
-                 / len(string_split_regex(trim(text), '\s+')) * 1e6) / 1e6
+                 / (len(regexp_extract_all(trim(text), '\s+')) + 1) * 1e6) / 1e6
                                                                       AS chars_per_word
     FROM documents
 """)
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document surface statistics (length / punctuation / word shape)."""
+    """Per-document surface statistics (length / punctuation / word shape).
+
+    r8 throughput rework (r7 verdict item 2), value-identical by A/B
+    (exceptAll == 0 both directions at sf0.1 AND sf1):
+    - n_punct is a translate() byte-op — delete alnum+whitespace, count
+      what remains — a per-char table lookup instead of the _PUNCT_RE
+      char-class regex scan;
+    - n_words counts whitespace RUNS (regexp_count(\\s+)+1 on the trimmed
+      text) instead of materializing the split-array just to take its
+      size — same integer for trimmed input (fields = separators + 1),
+      zero per-row array allocation.
+    Measured at sf1: 1.744 s → 0.957 s best-of-5 (was the one >2× op at
+    2.63× vs DuckDB; the oracle got the same constructions in lockstep).
+    """
     docs = load_table(spark, sf_dir, "documents")
     n_chars = F.length("text")
-    n_words = F.size(tokens(C("text")))
-    # regexp_count, not size(regexp_extract_all): same integer, one regex
-    # pass, and no per-row array of single-char matches to allocate — this
-    # op is a pure scan-map, so allocation IS its cost at 100 TB.
-    n_punct = F.regexp_count(C("text"), F.lit(_PUNCT_RE))
+    n_words = F.regexp_count(F.trim(C("text")), F.lit(r"\s+")) + F.lit(1)
+    n_punct = F.length(F.translate(C("text"), _ALNUM_WS, ""))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
