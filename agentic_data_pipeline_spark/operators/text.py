@@ -178,22 +178,27 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The UNROUNDED quality expression, shared by ext_quality_score,
 # ext_group_topk, and ext_curation_pipeline — one definition per engine so
 # every consumer filters/ranks on the identical double.
-QUALITY_SQL = r"""(  0.4 * LEAST(len(string_split_regex(trim(text), '\s+'))
-                               / 100.0, 1.0)
-                 + 0.3 * (1.0 - LEAST(CAST(len(regexp_extract_all(text,
-                              '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text), 1.0))
+QUALITY_SQL = rf"""(  0.4 * LEAST((len(regexp_extract_all(trim(text), '\s+'))
+                                   + 1) / 100.0, 1.0)
+                 + 0.3 * (1.0 - LEAST(CAST(LENGTH(translate(text,
+                              {_DUCK_ALNUM_WS}, '')) AS DOUBLE)
+                              / LENGTH(text), 1.0))
                  + 0.3 * LEAST(CAST(LENGTH(text) AS DOUBLE)
-                               / len(string_split_regex(trim(text), '\s+'))
+                               / (len(regexp_extract_all(trim(text), '\s+'))
+                                  + 1)
                                / 8.0, 1.0))"""
 
 
 def quality_expr(text_col: Column) -> Column:
     """Composite heuristic quality score in [0,1]: length component +
     low-punctuation component + word-shape component. Twin of QUALITY_SQL
-    (identical arithmetic tree → bit-stable across engines)."""
+    (identical arithmetic tree → bit-stable across engines). r8: the punct
+    count is the translate() byte-op and the word count is whitespace-runs
+    + 1 — the ext_text_stats rework, value-identical (same integers feed
+    the same double tree), shared by every quality consumer."""
     n_chars = F.length(text_col).cast("double")
-    n_words = F.size(tokens(text_col))
-    n_punct = F.regexp_count(text_col, F.lit(_PUNCT_RE)).cast("double")
+    n_words = F.regexp_count(F.trim(text_col), F.lit(r"\s+")) + F.lit(1)
+    n_punct = F.length(F.translate(text_col, _ALNUM_WS, "")).cast("double")
     return (
         F.lit(0.4) * F.least(n_words / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(n_punct / n_chars, F.lit(1.0)))
