@@ -178,15 +178,21 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The UNROUNDED quality expression, shared by ext_quality_score,
 # ext_group_topk, and ext_curation_pipeline — one definition per engine so
 # every consumer filters/ranks on the identical double.
-QUALITY_SQL = rf"""(  0.4 * LEAST((len(regexp_extract_all(trim(text), '\s+'))
+def quality_sql_for(col: str) -> str:
+    """The DuckDB quality expression over an arbitrary text column (r8:
+    ext_pdf_corpus scores page content, not documents.text)."""
+    return rf"""(  0.4 * LEAST((len(regexp_extract_all(trim({col}), '\s+'))
                                    + 1) / 100.0, 1.0)
-                 + 0.3 * (1.0 - LEAST(CAST(LENGTH(translate(text,
+                 + 0.3 * (1.0 - LEAST(CAST(LENGTH(translate({col},
                               {_DUCK_ALNUM_WS}, '')) AS DOUBLE)
-                              / LENGTH(text), 1.0))
-                 + 0.3 * LEAST(CAST(LENGTH(text) AS DOUBLE)
-                               / (len(regexp_extract_all(trim(text), '\s+'))
+                              / LENGTH({col}), 1.0))
+                 + 0.3 * LEAST(CAST(LENGTH({col}) AS DOUBLE)
+                               / (len(regexp_extract_all(trim({col}), '\s+'))
                                   + 1)
                                / 8.0, 1.0))"""
+
+
+QUALITY_SQL = quality_sql_for("text")
 
 
 def quality_expr(text_col: Column) -> Column:

@@ -58,6 +58,7 @@ SECTIONS = [
         "ext_text_stats", "ext_lang_id", "ext_token_count",
         "ext_quality_score", "ext_repetition", "ext_fingerprint", "ext_multimodal",
         "ext_frame_sample", "ext_resize", "ext_resize_png", "ext_audio_features", "ext_video_frames",
+        "ext_pdf_corpus",
         "ext_sessionize", "ext_asof_join", "ext_range_join", "ext_gap_fill",
         "ext_funnel", "ext_retention",
         "ext_pii_redact", "ext_docs_to_chunks", "ext_sample_stratified",

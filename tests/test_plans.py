@@ -362,6 +362,17 @@ def test_dp_release_single_aggregate_no_python(spark):
         assert aggs == 2, (op_id, aggs)                 # partial + final
 
 
+def test_pdf_corpus_map_only(spark):
+    """Corpus PDF extraction must stay a map-only plan: binaryFile scan →
+    ONE Arrow page-exploder stage → codegen scoring projection; no
+    exchange, no join, no row-at-a-time Python."""
+    p = plan_of(spark, "ext_pdf_corpus")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p   # Arrow boundary only
+    assert "Scan binaryFile" in p
+
+
 def test_vocab_coverage_vocab_broadcasts(spark):
     # The top-K vocab probe must be a BROADCAST join against the exploded
     # token stream (the corpus never shuffles for membership), and the
