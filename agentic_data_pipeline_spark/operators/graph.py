@@ -152,7 +152,8 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("rank")))
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, salt_threshold: int | None = None,
+                   salt_buckets: int = 16) -> DataFrame:
     """Per-vertex triangle counts + local clustering coefficient over an
     undirected view of ``edges`` (src, dst).
 
@@ -168,6 +169,23 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     two vertex-keyed orientation joins, the apex self-join, the closing
     probe — all hash-partitioned on bounded keys; nothing is quadratic
     in a vertex's raw degree.
+
+    Apex salting (r7 verdict item 6 — the load-balance knob on top of the
+    degree-ordered BOUND): the orientation caps any apex's out-degree at
+    O(√m), but a dense near-dup community still lands all its (√m)²
+    wedges on ONE apex join key, i.e. one task. With ``salt_threshold``
+    set, apexes whose OUT-degree exceeds it have their wedge generation
+    split over ``salt_buckets`` join keys: leg2 rows bucket by
+    xxhash64(b) % S, leg1 rows replicate to all S buckets, the join key
+    becomes (a, bucket) — every (b1, b2) pair is produced exactly once
+    (in b2's bucket), so totals are hash-identical while the max per-key
+    candidate volume drops from out_deg² to out_deg²/S (probe:
+    scripts/probe_triangle_salting.py). Light apexes keep one bucket and
+    pay nothing; the only added cost is the out-degree aggregate (keyed
+    on `a`, the partitioning the self-join needs anyway) and S× leg1
+    replication FOR HEAVY APEXES ONLY. Default off: the fixture graph's
+    max out-degree is tiny and the extra aggregate would be pure
+    overhead below ~10⁵-wedge apexes.
     """
     und = (edges.filter(C("src") != C("dst"))
            .select(F.least("src", "dst").alias("u"),
@@ -191,11 +209,28 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(u_first, C("dv")).otherwise(C("du")).alias("db"))
         .localCheckpoint())  # reused three times below (two wedge legs
                              # + closing probe): pin, don't recompute
-    leg1 = oriented.select(C("a"), C("b").alias("b1"), C("db").alias("db1"))
-    leg2 = oriented.select(C("a"), C("b").alias("b2"), C("db").alias("db2"))
-    wedges = leg1.join(leg2, "a").filter(
-        (C("db1") < C("db2")) | ((C("db1") == C("db2"))
-                                 & (C("b1") < C("b2"))))
+    order = (C("db1") < C("db2")) | ((C("db1") == C("db2"))
+                                     & (C("b1") < C("b2")))
+    if salt_threshold is None:
+        leg1 = oriented.select(C("a"), C("b").alias("b1"),
+                               C("db").alias("db1"))
+        leg2 = oriented.select(C("a"), C("b").alias("b2"),
+                               C("db").alias("db2"))
+        wedges = leg1.join(leg2, "a").filter(order)
+    else:
+        s = salt_buckets
+        odeg = oriented.groupBy("a").agg(F.count(F.lit(1)).alias("__od"))
+        o2 = oriented.join(odeg, "a")
+        heavy = C("__od") > salt_threshold
+        leg2 = o2.select(
+            C("a"), C("b").alias("b2"), C("db").alias("db2"),
+            F.when(heavy, F.pmod(F.xxhash64(C("b")), F.lit(s)))
+            .otherwise(F.lit(0)).cast("int").alias("__s"))
+        leg1 = o2.select(
+            C("a"), C("b").alias("b1"), C("db").alias("db1"),
+            F.explode(F.when(heavy, F.sequence(F.lit(0), F.lit(s - 1)))
+                      .otherwise(F.array(F.lit(0)))).alias("__s"))
+        wedges = leg1.join(leg2, ["a", "__s"]).filter(order).drop("__s")
     closing = oriented.select(C("a").alias("b1"), C("b").alias("b2"))
     tri = wedges.join(closing, ["b1", "b2"]).select("a", "b1", "b2")
     per_v = (tri.select(C("a").alias("x"))

@@ -53,6 +53,22 @@ def test_triangle_count_matches_bruteforce(spark):
         assert got[x]["clustering"] == pytest.approx(want, abs=1e-12)
 
 
+def test_triangle_count_salted_identical(spark):
+    """Apex salting (r8 knob) must be a pure load-balance transform:
+    salt_threshold=0 forces EVERY apex through the bucketed path, and the
+    full per-vertex result must equal the unsalted run exactly — every
+    (b1, b2) wedge pair is produced exactly once, in b2's bucket."""
+    from agentic_data_pipeline_spark.operators.graph import triangle_count
+
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (4, 6), (5, 6), (6, 7), (2, 1), (3, 3)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    plain = triangle_count(edges)
+    salted = triangle_count(edges, salt_threshold=0, salt_buckets=4)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
 def test_triangle_count_on_fixture_nonzero(spark):
     # The kNN similarity graph at sf0.001 must contain triangles (mutual
     # nearest neighbours within a label block) — the gate bites.
