@@ -63,100 +63,83 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
 
 # Driver-facing iteration order. The driver verifies ops in queries()-dict
-# order with a bounded per-round budget (~50 ops/round observed in r1), so
-# ops that still lack an accumulated CORRECTNESS row are listed first; ops
-# that went green in an earlier round sort last (they stay registered and
-# locally pytest-verified either way). Maintained by hand each round from
-# CORRECTNESS_r{N}.json.
+# order with a bounded per-round budget (~50 ops/round observed), so the
+# ordering is now GENERATED each round by scripts/evidence_rotation.py
+# (r7 verdict item 1): the round's NEW ops and ops whose oracle/impl
+# changed lead, then every op whose impl file changed AFTER its last
+# driver row (stale evidence, oldest first), then fresh ops by evidence
+# age. q18/q17 and the other r6-rewritten analytics — whose last external
+# hash check was r1 — sit directly behind the r8 frontier.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-7 frontier: ops NEW this round (partition evolution,
-    # derived-blocking kNN, k-anonymity enforcement, triangle counting,
-    # DP histogram, vocab coverage, k-center diversity sampling), then
-    # ops whose ORACLE or implementation changed after their last driver
-    # sample (NULL-safe RI in expectations + the stream gate's
-    # batch-id-derived state, the deterministic LDA fit, the pagerank
-    # out-degree rewrite), then ext_similarity_topk_batch — the one op
-    # whose shared oracle (r5) postdates its last driver row (r3).
-    "ext_partition_evolution", "ext_knn_graph_derived",
-    "ext_k_anonymity_enforce", "ext_triangle_count", "ext_dp_histogram",
-    "ext_vocab_coverage", "ext_diversity_sample", "ext_dp_mean",
-    "ext_expectations", "stream_quality_gate", "ext_topic_model",
-    "ext_pagerank", "ext_similarity_topk_batch",
-    # --- round-6 frontier: the 11 ops added in r5 after the driver's
-    # ~50-op budget was spent (r5 checked positions 1-50 of the r5
-    # ordering; these were at 51+). All pass parity_sweep at sf0.01 and
-    # were judge-replayed clean in the r5 verdict; they lead so r6
-    # closes accumulated driver coverage at 193/193.
-    "ext_resize_png", "ext_audio_features", "ext_video_frames",
-    "ext_bm25_search", "ext_hybrid_search", "ext_dedup_minhash_md5",
-    "ext_dedup_incremental_fuzzy", "stream_dedup_fuzzy",
-    "ext_embed_word2vec", "ext_snapshot_versions", "ext_time_travel_diff",
-    # --- new in r6 session 3: data-quality expectation suite, LDA topic
-    # model (contract-oracle family), int8 embedding quantization.
-    "ext_embedding_quantize",
-    "ext_ann_int8", "ext_image_dedup_ahash",
-    "ext_audio_dedup_fingerprint", "ext_video_dedup_scenehash",
-    "ext_winsorize", "ext_decontaminate_embedding", "ext_k_anonymity",
-    "ext_drift_psi", "ext_contrastive_triplets",
-    # --- changed/new in r6: semdedup's k is now corpus-derived (was
-    # pinned to the sf0.01 fixture), the approximate family gained
-    # bound-checked oracles, and the snapshot/streaming surfaces grew.
-    "ext_semdedup", "ext_dedup_simhash_md5", "q_approx_agg",
-    "ext_hll_rollup", "ext_snapshot_expire", "stream_stream_join_outer",
-    "ext_dedup_substring", "ext_heavy_hitters", "ext_quantile_rollup",
-    "ext_ann_ivf", "ext_ann_lsh", "ext_ann_pq",
-    "ext_semdedup_contract", "ext_kmeans_contract",
-    "ext_dedup_components_star",
-    # --- r4/r5 frontier, driver-evidenced green in r5; stays high so a
-    # larger driver budget re-evidences the newest code paths first.
-    "ext_skew_report", "ext_gopher_filters", "ext_lm_perplexity",
-    "ext_lm_score_holdout", "ext_bpe_merges", "ext_dedup_minhash_clusters",
-    "ext_dedup_clusters_bounded",
-    "ingest_xml", "ext_quality_classifier", "ext_shard_assign",
-    "ext_bpe_encode", "ext_knn_graph",
-    "ext_dedup_containment", "stream_upsert", "q_intersect_all", "q_except_all", "q_window_dist", "ext_data_profile",
-    "ext_bucketed_join", "ext_histogram_rollup", "ext_sample_fixed_n",
-    "ext_knn_graph_batch", "ext_word2vec_train", "q_recursive_cte",
-    "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
-    "ext_training_prep_pipeline", "ingest_json_multiline",
-    "ext_temperature_sample", "ext_upsample_repeat",
-    "ingest_schema_evolution",
-    "ext_text_stats", "ext_quality_score", "ext_repetition",
-    "ext_group_topk", "ext_dedup_ngram", "ext_rare_bigrams",
-    "q_window_agg",
-    # --- everything below is driver-evidenced green in r1/r2/r3
-    # (CORRECTNESS files); stays registered + locally parity-swept and
-    # sorts after the frontier.
-    # Round-3 green
-    "q_cube", "q_window_nav", "q_window_range", "q_join_full", "q_join_cross",
-    "q_pivot", "q_unpivot", "q_string_agg", "q_percentile", "q_json_funcs",
-    "q_exists", "q_lateral", "q_grouping_sets", "q_variant",
-    "stream_sliding", "stream_stream_join", "stream_to_bronze",
-    "ext_asof_join", "ext_range_join", "ext_gap_fill",
-    "ext_funnel", "ext_retention", "ext_sessionize",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_priority_by_delay",
+    "ext_pdf_corpus", "ext_word2vec_contract", "ext_bpe_merges",
+    "ext_bpe_encode", "ext_text_stats", "ext_quality_score",
+    "ext_group_topk", "ext_curation_pipeline", "ext_training_prep_pipeline",
+    "ext_dp_histogram", "ext_diversity_sample", "ext_semdedup_contract",
+    "ext_chunk_overlap", "ext_compact_files", "ext_decontaminate",
+    "ext_dedup_components", "ext_dedup_exact", "ext_dedup_incremental",
+    "ext_dedup_minhash", "ext_dedup_passage", "ext_dedup_resolve",
+    "ext_dedup_simhash", "ext_docs_to_chunks", "ext_entropy",
+    "ext_fingerprint", "ext_frame_sample", "ext_html_strip", "ext_lang_id",
+    "ext_latest_by_key", "ext_multimodal", "ext_ngram_freq",
+    "ext_pack_sequences", "ext_pii_redact", "ext_pmi_bigrams",
+    "ext_salted_join", "ext_tfidf", "ext_token_count", "merge_upsert",
+    "q10_returned_items", "q14_promo_revenue", "q17_small_quantity",
+    "q18_large_orders", "q19_disjunctive_filter", "q22_dormant_customers",
+    "q3_shipping_priority", "q4_late_shipments", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q_histogram", "rule_clean_emails",
+    "rule_standardize_currency", "ext_inverted_index", "ext_similarity_topk",
+    "ingest_csv", "ingest_error", "ingest_excel", "ingest_json",
+    "ingest_orc", "ingest_pdf", "ingest_text", "nl_fallback", "nl_transform",
+    "preview", "q_agg", "q_array_funcs", "q_case_when", "q_cte",
+    "q_date_funcs", "q_distinct", "q_except", "q_filter", "q_groupby",
+    "q_intersect", "q_join_anti", "q_join_inner", "q_join_left",
+    "q_join_semi", "q_math_funcs", "q_project", "q_regex_filter", "q_rollup",
+    "q_str_funcs", "q_topk", "q_tumble", "q_union", "q_window_rank",
+    "read_bronze", "rule_remove_outliers", "rule_top_performers",
+    "serve_csv", "serve_json", "sql_exec", "stream_dedup", "stream_join",
+    "stream_sessionize", "stream_tumble", "vector_index", "vector_search",
+    "viz_bar", "write_bronze", "ext_corpus_stats", "ext_dedup_embedding",
+    "ext_domain_mix", "ext_kmeans_clusters", "ext_resize",
+    "ext_sample_stratified", "ext_scd2_history", "ext_train_val_split",
+    "ext_zorder_cluster", "q11_important_parts", "q12_priority_by_delay",
     "q13_order_distribution", "q15_top_supplier", "q16_part_supplier_counts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "ext_sample_stratified", "ext_train_val_split", "ext_corpus_stats",
-    "ext_domain_mix",
-    "ext_dedup_embedding", "vector_search_batch",
-    "ext_kmeans_clusters", "ext_zorder_cluster", "ext_scd2_history",
-    "ext_resize", "stream_dedup_watermark",
-    # Round-1/2 green
-    "ext_inverted_index",
-    "ingest_csv", "ingest_json", "ingest_orc", "ingest_text", "ingest_excel",
-    "ingest_pdf", "ingest_error", "write_bronze", "read_bronze", "sql_exec",
-    "nl_transform", "nl_fallback", "serve_json", "serve_csv", "viz_bar",
-    "preview",
-    "rule_remove_outliers", "rule_top_performers",
-    "vector_index", "vector_search", "ext_similarity_topk",
-    "q_project", "q_filter", "q_regex_filter", "q_topk", "q_agg", "q_groupby",
-    "q_rollup", "q_window_rank", "q_join_inner", "q_join_left",
-    "q_join_semi", "q_join_anti", "q_union", "q_intersect", "q_except",
-    "q_distinct", "q_cte", "q_str_funcs", "q_date_funcs", "q_math_funcs",
-    "q_case_when", "q_array_funcs", "q_tumble",
-    "stream_tumble", "stream_dedup", "stream_join", "stream_sessionize",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q_exists", "q_grouping_sets", "q_json_funcs",
+    "q_lateral", "q_variant", "stream_dedup_watermark", "stream_sliding",
+    "stream_stream_join", "stream_to_bronze", "vector_search_batch",
+    "ext_bucketed_join", "ext_cdc_changelog", "ext_data_profile",
+    "ext_dedup_containment", "ext_dedup_ngram", "ext_histogram_rollup",
+    "ext_knn_graph", "ext_knn_graph_batch", "ext_pseudonymize",
+    "ext_rare_bigrams", "ext_repetition", "ext_word2vec_train",
+    "stream_upsert", "ext_dedup_clusters_bounded",
+    "ext_dedup_minhash_clusters", "ext_gopher_filters",
+    "ext_quality_classifier", "ext_ann_ivf", "ext_ann_lsh", "ext_ann_pq",
+    "ext_audio_dedup_fingerprint", "ext_audio_features", "ext_bm25_search",
+    "ext_contrastive_triplets", "ext_decontaminate_embedding",
+    "ext_dedup_components_star", "ext_dedup_incremental_fuzzy",
+    "ext_dedup_minhash_md5", "ext_dedup_simhash_md5", "ext_dedup_substring",
+    "ext_dp_mean", "ext_embed_word2vec", "ext_heavy_hitters",
+    "ext_hybrid_search", "ext_image_dedup_ahash", "ext_k_anonymity",
+    "ext_k_anonymity_enforce", "ext_kmeans_contract",
+    "ext_knn_graph_derived", "ext_pagerank", "ext_resize_png",
+    "ext_semdedup", "ext_similarity_topk_batch", "ext_triangle_count",
+    "ext_video_dedup_scenehash", "ext_video_frames", "ext_vocab_coverage",
+    "q1_pricing_summary", "ext_asof_join", "ext_funnel", "ext_gap_fill",
+    "ext_range_join", "ext_retention", "ext_sessionize",
+    "ext_partitioned_write", "ext_sample_fixed_n", "ext_temperature_sample",
+    "ext_upsample_repeat", "ingest_json_multiline",
+    "ingest_schema_evolution", "q_cube", "q_except_all", "q_intersect_all",
+    "q_join_cross", "q_join_full", "q_percentile", "q_pivot",
+    "q_recursive_cte", "q_string_agg", "q_unpivot", "q_window_agg",
+    "q_window_dist", "q_window_nav", "q_window_range", "ext_lm_perplexity",
+    "ext_lm_score_holdout", "ext_shard_assign", "ingest_xml", "ext_ann_int8",
+    "ext_drift_psi", "ext_embedding_quantize", "ext_expectations",
+    "ext_hll_rollup", "ext_partition_evolution", "ext_quantile_rollup",
+    "ext_skew_report", "ext_snapshot_expire", "ext_snapshot_versions",
+    "ext_time_travel_diff", "ext_topic_model", "ext_winsorize",
+    "q_approx_agg", "stream_dedup_fuzzy", "stream_quality_gate",
+    "stream_stream_join_outer",
 )
 
 

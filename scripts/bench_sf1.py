@@ -27,9 +27,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
+# r8 (r7 verdict item 5): the replica count is a knob so the SAME script
+# publishes the growth tiers — REPLICAS=10 is the sf1 tier of record,
+# SPARK_GRAFT_REPLICAS=30 builds/benches an sf3 lake at .tmp/sf3 (history
+# rows separate by the recorded sf, so the sf1 of-record median is
+# untouched).
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
+TIER_SF = REPLICAS / 10.0
+_TIER_TAG = f"sf{TIER_SF:g}"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".tmp", "sf1")
-REPLICAS = 10
+                   ".tmp", _TIER_TAG)
 OFF = 100_000_000  # > any key at sf0.1
 
 # key columns shifted per replica (domain growth); everything else copies
@@ -109,7 +116,7 @@ def main() -> None:
     from tests.parity_util import duck_connect
 
     _ensure_loaded()
-    spark = get_spark(app_name="adps-bench-sf1")
+    spark = get_spark(app_name=f"adps-bench-{_TIER_TAG}")
     spark.sparkContext.setLogLevel("ERROR")
     # Shuffle-partition count follows the tier's data volume (the engine
     # rule, session.scaled_shuffle_partitions — r7 verdict item 8). Sized
@@ -154,9 +161,9 @@ def main() -> None:
     ccov = [n for n in CLASSIC if n in duck]
     cs, cd = sum(timings[n] for n in ccov), sum(duck[n] for n in ccov)
     artifact = {
-        "metric": "sf1_headline_total_sec",
+        "metric": f"{_TIER_TAG}_headline_total_sec",
         "value": round(sum(timings.values()), 3),
-        "unit": "sec", "sf": 1.0, "replicas_of_sf0.1": REPLICAS,
+        "unit": "sec", "sf": TIER_SF, "replicas_of_sf0.1": REPLICAS,
         "set_version": "v2", "n_queries": len(HEADLINE),
         "queries": timings, "duckdb_twin_sec": duck,
         "spark_cov_sec": round(s, 3), "duck_cov_sec": round(d, 3),
@@ -191,7 +198,7 @@ def main() -> None:
     artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"] if rec
                                    else artifact["spark_over_duckdb_ratio"])
     artifact["of_record_provenance"] = {"window": window}
-    detail = write_detail(artifact, "sf1_v2")
+    detail = write_detail(artifact, f"{_TIER_TAG}_v2")
     print(json.dumps(compact_line(artifact, detail),
                      separators=(",", ":")))
 

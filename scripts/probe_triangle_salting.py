@@ -38,9 +38,9 @@ from agentic_data_pipeline_spark.session import apply_scaled_shuffle, get_spark
 
 C = F.col
 
-CLIQUE_K = 2048
+CLIQUE_K = 512
 SALT_S = 16
-SALT_THRESHOLD = 256
+SALT_THRESHOLD = 64
 
 
 def synth_graph(spark, n: int):
