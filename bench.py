@@ -114,7 +114,9 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r7a"
+PERF_EPOCH = "r8a"  # r8: ext_text_stats + shared quality expression moved
+                    # to translate()/run-count constructions (both
+                    # engines) — headline timings shift, new epoch window
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
