@@ -236,9 +236,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp.ps_supplycost — module docstring).
 
     Plan: part (name-filtered), supplier, and nation broadcast; the
-    orderkey join is the one shuffle; profit is a single BIGINT expression
-    in cents^2 fixed point per row, summed exactly — subtraction inside the
-    SUM keeps one aggregate pass.
+    orderkey join is a SHUFFLE-HASH join (hinted, r8): without the hint
+    Catalyst broadcasts the 2-column orders projection (it fits the 64 MB
+    threshold up to ~sf3), which rebuilds a multi-million-row hash map on
+    the driver every execution AND is exactly the shape that dies at
+    100 TB where orders is a fact table. The hint pins the
+    scale-correct plan — both sides hash-partition on orderkey, the
+    build side per partition stays ~100k rows under the scaled-shuffle
+    rule — and it is also FASTER locally once orders outgrows trivial
+    (sf3 A/B: 3.26 s broadcast → 1.90 s shuffle-hash, identical rows).
+    Profit is a single BIGINT expression in cents^2 fixed point per row,
+    summed exactly — subtraction inside the SUM keeps one aggregate pass.
     """
     part = (load_table(spark, sf_dir, "part")
             .filter(C("p_name").like("%widget%"))
@@ -256,7 +264,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - cents("p_retailprice") * cents("l_quantity"))
     return (
         li.join(F.broadcast(part), C("p_partkey") == C("l_partkey"))
-        .join(orders, C("o_orderkey") == C("l_orderkey"))
+        .join(orders.hint("shuffle_hash"), C("o_orderkey") == C("l_orderkey"))
         .join(F.broadcast(supp), C("s_suppkey") == C("l_suppkey"))
         .join(F.broadcast(nation), C("s_nationkey") == C("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -423,21 +431,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
     the view-then-max-equality pattern.
 
-    Plan: per-supplier revenue is one aggregation; its one-row MAX
-    broadcasts back for the equality filter (cross join, never collected).
-    The equality compares exact BIGINT cents — ties keep every argmax row,
-    deterministically, where a double comparison could drop one engine's
-    ties. Supplier dim broadcasts into the survivors.
+    Plan: per-supplier revenue is ONE aggregation consumed once — the max
+    rides a global window over the (supplier-dim-sized) aggregate output
+    instead of a second aggregate subtree: the crossJoin(max) spelling
+    re-derived `rev` on both sides and Catalyst re-SCANNED lineitem twice
+    (two identical pushed-filter scans in the sf3 plan; r8 A/B: 1.61 s →
+    0.95 s from the single-scan window form, identical rows). The empty
+    window frame collapses to a single partition of ~|suppliers| rows —
+    dimension-sized at any SF, never corpus-sized. The equality compares
+    exact BIGINT cents — ties keep every argmax row, deterministically,
+    where a double comparison could drop one engine's ties. Supplier dim
+    broadcasts into the survivors.
     """
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((C("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
                   & (C("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
           .select("l_suppkey", "l_extendedprice", "l_discount"))
     rev = li.groupBy("l_suppkey").agg(_rev_c().alias("total_c"))
-    top = rev.agg(F.max("total_c").alias("max_c"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.crossJoin(F.broadcast(top))
+        rev.withColumn("max_c", F.max("total_c").over(Window.partitionBy()))
         .filter(C("total_c") == C("max_c"))
         .join(F.broadcast(supp), C("s_suppkey") == C("l_suppkey"))
         .select("s_suppkey", "s_name",
