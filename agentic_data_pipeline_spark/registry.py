@@ -66,14 +66,16 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # order with a bounded per-round budget (~50 ops/round observed), so the
 # ordering is now GENERATED each round by scripts/evidence_rotation.py
 # (r7 verdict item 1): the round's NEW ops and ops whose oracle/impl
-# changed lead, then every op whose impl file changed AFTER its last
-# driver row (stale evidence, oldest first), then fresh ops by evidence
-# age. q18/q17 and the other r6-rewritten analytics — whose last external
-# hash check was r1 — sit directly behind the r8 frontier.
+# changed lead (incl. the q9/q15 plan rewrites), then every op whose impl
+# file changed AFTER its last driver row (stale evidence, oldest first),
+# then fresh ops by evidence age. q18/q17 and the other r6-rewritten
+# analytics — whose last external hash check was r1 — sit directly behind
+# the r8 frontier.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_pdf_corpus", "ext_word2vec_contract", "ext_bpe_merges",
-    "ext_bpe_encode", "ext_text_stats", "ext_quality_score",
-    "ext_group_topk", "ext_curation_pipeline", "ext_training_prep_pipeline",
+    "ext_bpe_encode", "ext_text_stats", "q9_product_profit",
+    "q15_top_supplier", "ext_quality_score", "ext_group_topk",
+    "ext_curation_pipeline", "ext_training_prep_pipeline",
     "ext_dp_histogram", "ext_diversity_sample", "ext_semdedup_contract",
     "ext_chunk_overlap", "ext_compact_files", "ext_decontaminate",
     "ext_dedup_components", "ext_dedup_exact", "ext_dedup_incremental",
@@ -102,33 +104,32 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_domain_mix", "ext_kmeans_clusters", "ext_resize",
     "ext_sample_stratified", "ext_scd2_history", "ext_train_val_split",
     "ext_zorder_cluster", "q11_important_parts", "q12_priority_by_delay",
-    "q13_order_distribution", "q15_top_supplier", "q16_part_supplier_counts",
+    "q13_order_distribution", "q16_part_supplier_counts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q_exists", "q_grouping_sets", "q_json_funcs",
-    "q_lateral", "q_variant", "stream_dedup_watermark", "stream_sliding",
-    "stream_stream_join", "stream_to_bronze", "vector_search_batch",
-    "ext_bucketed_join", "ext_cdc_changelog", "ext_data_profile",
-    "ext_dedup_containment", "ext_dedup_ngram", "ext_histogram_rollup",
-    "ext_knn_graph", "ext_knn_graph_batch", "ext_pseudonymize",
-    "ext_rare_bigrams", "ext_repetition", "ext_word2vec_train",
-    "stream_upsert", "ext_dedup_clusters_bounded",
-    "ext_dedup_minhash_clusters", "ext_gopher_filters",
-    "ext_quality_classifier", "ext_ann_ivf", "ext_ann_lsh", "ext_ann_pq",
-    "ext_audio_dedup_fingerprint", "ext_audio_features", "ext_bm25_search",
-    "ext_contrastive_triplets", "ext_decontaminate_embedding",
-    "ext_dedup_components_star", "ext_dedup_incremental_fuzzy",
-    "ext_dedup_minhash_md5", "ext_dedup_simhash_md5", "ext_dedup_substring",
-    "ext_dp_mean", "ext_embed_word2vec", "ext_heavy_hitters",
-    "ext_hybrid_search", "ext_image_dedup_ahash", "ext_k_anonymity",
-    "ext_k_anonymity_enforce", "ext_kmeans_contract",
-    "ext_knn_graph_derived", "ext_pagerank", "ext_resize_png",
-    "ext_semdedup", "ext_similarity_topk_batch", "ext_triangle_count",
-    "ext_video_dedup_scenehash", "ext_video_frames", "ext_vocab_coverage",
-    "q1_pricing_summary", "ext_asof_join", "ext_funnel", "ext_gap_fill",
-    "ext_range_join", "ext_retention", "ext_sessionize",
-    "ext_partitioned_write", "ext_sample_fixed_n", "ext_temperature_sample",
-    "ext_upsample_repeat", "ingest_json_multiline",
+    "q_exists", "q_grouping_sets", "q_json_funcs", "q_lateral", "q_variant",
+    "stream_dedup_watermark", "stream_sliding", "stream_stream_join",
+    "stream_to_bronze", "vector_search_batch", "ext_bucketed_join",
+    "ext_cdc_changelog", "ext_data_profile", "ext_dedup_containment",
+    "ext_dedup_ngram", "ext_histogram_rollup", "ext_knn_graph",
+    "ext_knn_graph_batch", "ext_pseudonymize", "ext_rare_bigrams",
+    "ext_repetition", "ext_word2vec_train", "stream_upsert",
+    "ext_dedup_clusters_bounded", "ext_dedup_minhash_clusters",
+    "ext_gopher_filters", "ext_quality_classifier", "ext_ann_ivf",
+    "ext_ann_lsh", "ext_ann_pq", "ext_audio_dedup_fingerprint",
+    "ext_audio_features", "ext_bm25_search", "ext_contrastive_triplets",
+    "ext_decontaminate_embedding", "ext_dedup_components_star",
+    "ext_dedup_incremental_fuzzy", "ext_dedup_minhash_md5",
+    "ext_dedup_simhash_md5", "ext_dedup_substring", "ext_dp_mean",
+    "ext_embed_word2vec", "ext_heavy_hitters", "ext_hybrid_search",
+    "ext_image_dedup_ahash", "ext_k_anonymity", "ext_k_anonymity_enforce",
+    "ext_kmeans_contract", "ext_knn_graph_derived", "ext_pagerank",
+    "ext_resize_png", "ext_semdedup", "ext_similarity_topk_batch",
+    "ext_triangle_count", "ext_video_dedup_scenehash", "ext_video_frames",
+    "ext_vocab_coverage", "q1_pricing_summary", "ext_asof_join",
+    "ext_funnel", "ext_gap_fill", "ext_range_join", "ext_retention",
+    "ext_sessionize", "ext_partitioned_write", "ext_sample_fixed_n",
+    "ext_temperature_sample", "ext_upsample_repeat", "ingest_json_multiline",
     "ingest_schema_evolution", "q_cube", "q_except_all", "q_intersect_all",
     "q_join_cross", "q_join_full", "q_percentile", "q_pivot",
     "q_recursive_cte", "q_string_agg", "q_unpivot", "q_window_agg",
