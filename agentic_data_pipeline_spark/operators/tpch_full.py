@@ -578,23 +578,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: instead of two correlated probes per line, the correlation
     decorrelates into ONE linear pass: collapse lines to (order, supplier,
-    any_late), then per-order supplier counts come from window functions. A
+    any_late), then reduce each order to three scalars — distinct-supplier
+    count, late-supplier count, and ``max(when(late, suppkey))``. A
     supplier qualifies on an order iff the order has >1 supplier and
-    exactly 1 late supplier (itself, necessarily). The oracle keeps the
-    literal EXISTS/NOT-EXISTS spelling, so parity also proves the
-    decorrelation equivalent.
+    exactly 1 late supplier (itself, necessarily) — and when n_late == 1
+    that max() IS the qualifying supplier, so no window and no join back
+    to the line grain is needed. The oracle keeps the literal
+    EXISTS/NOT-EXISTS spelling, so parity also proves the decorrelation
+    equivalent.
 
     The orders side BROADCASTS (it's the filtered small side), so the join
     output keeps the scan's file partitioning — without help the
-    (order, supplier) aggregate and the per-order window would each add
+    (order, supplier) aggregate and the per-order reduction would each add
     their own exchange. The explicit ``repartition("l_orderkey")`` makes
     ONE hash(orderkey) exchange serve both: hash(orderkey) satisfies the
-    clustered distribution of the (orderkey, suppkey) aggregate AND the
-    window, so the whole collapse→flags chain is exchange-free after it.
-    Measured at sf0.1: 3 shuffles → 2, 1.05 s → 0.72 s, identical rows.
-    (An earlier version fed the joined lines to two consumers and subtree
-    recomputation made it 3.4× slower still; supplier broadcasts at the
-    end.)
+    clustered distribution of BOTH aggregates, so the whole collapse→
+    reduce chain is exchange-free after it. Two hash aggregates replace
+    the r2 version's aggregate + two-function window: same single
+    exchange, but no per-partition sort and the order grain (≪ line
+    grain) feeds the final broadcast join. Measured sf0.1 0.72 s → 0.47 s,
+    sf1 1.04 s → 0.74 s, identical rows (BASELINE.md round-8 table).
     """
     orders = (load_table(spark, sf_dir, "orders")
               .filter(C("o_orderstatus") == "F")
@@ -607,16 +610,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .repartition("l_orderkey")
               .groupBy("l_orderkey", "l_suppkey")
               .agg(F.max(late).alias("s_late")))
-    w = Window.partitionBy("l_orderkey")
-    flags = per_os.select(
-        "l_orderkey", "l_suppkey", "s_late",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.sum("s_late").over(w).alias("n_late_supp"))
+    per_order = (per_os.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum("s_late").alias("n_late_supp"),
+                      F.max(F.when(C("s_late") == 1, C("l_suppkey")))
+                       .alias("late_supp")))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flags.filter((C("s_late") == 1)
-                     & (C("n_supp") > 1) & (C("n_late_supp") == 1))
-        .join(F.broadcast(supp), C("s_suppkey") == C("l_suppkey"))
+        per_order.filter((C("n_supp") > 1) & (C("n_late_supp") == 1))
+        .join(F.broadcast(supp), C("s_suppkey") == C("late_supp"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -268,7 +268,7 @@ HEADLINE_MAX_SHUFFLES = {
     "ext_sessionize": 1,         # one user_id shuffle shared by the windows
     "ext_asof_join": 1,
     "ext_similarity_topk": 2,    # salted phase-1 + candidate merge
-    "q21_waiting_suppliers": 2,  # one orderkey exchange serves agg+window
+    "q21_waiting_suppliers": 2,  # one orderkey exchange serves both aggs
     "ext_curation_pipeline": 5,  # composed multi-stage pipeline
 }
 
