@@ -504,9 +504,13 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the positive-balance average is a one-row aggregate broadcast as
     a cross join (never collected to the driver); the recent-buyer set is
-    an anti-join build side that AQE sizes at runtime — at 100 TB it's the
-    distinct of a date-pruned scan, far smaller than the fact. The per-
-    nation agg is dim-cardinality. Exact cents everywhere.
+    an anti-join build side that AQE sizes at runtime, fed the RAW
+    date-pruned projection — no ``.distinct()``: the anti-join hash build
+    dedups inherently, so a pre-distinct is a whole extra aggregate pass
+    when AQE broadcasts (sf3: 1.33 s → 0.40 s measured) and saves nothing
+    when it shuffles (the distinct needs the same custkey exchange the
+    join would). The per-nation agg is dim-cardinality. Exact cents
+    everywhere.
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal")
@@ -515,7 +519,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.count("c_acctbal")).alias("avg_bal")))
     active = (load_table(spark, sf_dir, "orders")
               .filter(C("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
-              .select("o_custkey").distinct())
+              .select("o_custkey"))
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(C("c_acctbal") > C("avg_bal"))
