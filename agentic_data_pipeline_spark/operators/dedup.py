@@ -1104,6 +1104,10 @@ def ext_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BASELINE.md growth probe), min-label propagation with diameter-bound
     rounds (near-dup clusters are dense and tiny), and a final
     cluster-sized aggregate.
+
+    Rows-only by design (xxhash64 banding); driver-verified through the
+    hash-green twin ext_dedup_clusters_bounded (same candidates → verify
+    → CC → survivor composition on the md5 construction).
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidates(docs, "doc_id", "text", 0.5)

@@ -807,6 +807,10 @@ def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid updates) — embarrassingly parallel per iteration; the model
     (k × dim doubles) broadcasts. Also the IVF coarse quantizer
     (ext_ann_ivf) if its cells are trained rather than hashed.
+
+    Rows-only by design (learned centroids are engine-local); driver
+    verification runs through the hash-green twin ext_kmeans_contract
+    (same fit, invariants oracle-checked).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -993,7 +997,11 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal (max pairwise cosine ~0.48, 99.9th pct ~0.38), so the
     paper's 0.95-on-real-text setting would never fire; 0.35 sits in the
     fixture's top-0.1% tail — the same relative operating point. The
-    threshold is a knob on semdedup(); the plan is unchanged."""
+    threshold is a knob on semdedup(); the plan is unchanged.
+
+    Rows-only by design (k-means assignment is engine-local); driver
+    verification runs through the hash-green twin ext_semdedup_contract,
+    which executes THIS real semdedup and oracle-checks its invariants."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, threshold=0.35)
 

@@ -884,6 +884,10 @@ def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster, non-deterministic; the standard trade, documented rather than
     hidden. Output is the vocabulary vector table (word, l2 norm): the
     model artifact a pipeline broadcasts into encode passes.
+
+    Rows-only by design (learned floats); driver verification runs
+    through the hash-green twin ext_word2vec_contract (same fit; vocab,
+    dim, and norm invariants oracle-checked).
     """
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array

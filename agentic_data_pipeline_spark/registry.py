@@ -74,7 +74,8 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_pdf_corpus", "ext_word2vec_contract", "ext_bpe_merges",
     "ext_bpe_encode", "ext_text_stats", "q9_product_profit",
-    "q15_top_supplier", "ext_quality_score", "ext_group_topk",
+    "q15_top_supplier", "q16_part_supplier_counts", "q21_waiting_suppliers",
+    "ext_quality_score", "ext_group_topk",
     "ext_curation_pipeline", "ext_training_prep_pipeline",
     "ext_dp_histogram", "ext_diversity_sample", "ext_semdedup_contract",
     "ext_chunk_overlap", "ext_compact_files", "ext_decontaminate",
@@ -104,8 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_domain_mix", "ext_kmeans_clusters", "ext_resize",
     "ext_sample_stratified", "ext_scd2_history", "ext_train_val_split",
     "ext_zorder_cluster", "q11_important_parts", "q12_priority_by_delay",
-    "q13_order_distribution", "q16_part_supplier_counts",
-    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "q13_order_distribution",
+    "q20_promotion_suppliers",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
     "q_exists", "q_grouping_sets", "q_json_funcs", "q_lateral", "q_variant",
     "stream_dedup_watermark", "stream_sliding", "stream_stream_join",

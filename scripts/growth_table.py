@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Three-tier growth table (r7 verdict item 5): per-query
+{spark, duck, ratio} at sf0.1 / sf1 / sf3 from the committed bench
+detail artifacts, so the "dispatch floor amortizes with scale" defense
+for the sub-second watch queries is a measured curve, not an argument.
+
+Usage: python scripts/growth_table.py [--all]
+  default: the VERDICT r7 watch queries + the tier totals
+  --all:   every query present in all three artifacts
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TIERS = ["0.1", "1", "3"]
+WATCH = [
+    "q9_product_profit", "q15_top_supplier", "q21_waiting_suppliers",
+    "q16_part_supplier_counts", "q17_small_quantity", "q18_large_orders",
+    "q22_dormant_customers", "q2_min_cost_supplier",
+]
+
+
+def load(tier: str) -> dict:
+    path = os.path.join(REPO, "bench_artifacts", f"detail_sf{tier}_v2.json")
+    return json.load(open(path))
+
+
+def main() -> None:
+    arts = {t: load(t) for t in TIERS}
+    names = set(arts["0.1"]["queries"])
+    for t in TIERS[1:]:
+        names &= set(arts[t]["queries"])
+    rows = sorted(names) if "--all" in sys.argv else [
+        w for w in WATCH if w in names]
+
+    hdr = "| query |" + "".join(
+        f" sf{t} spark | duck | ratio |" for t in TIERS)
+    sep = "|---|" + "---|---|---|" * len(TIERS)
+    print(hdr)
+    print(sep)
+    for q in rows:
+        cells = []
+        for t in TIERS:
+            s = arts[t]["queries"][q]
+            d = arts[t]["duckdb_twin_sec"].get(q)
+            r = f"{s / d:.2f}x" if d else "—"
+            cells.append(f" {s:.3f} | {d if d else '—'} | {r} |")
+        print(f"| {q} |" + "".join(cells))
+    total = []
+    for t in TIERS:
+        a = arts[t]
+        twin = a["duckdb_twin_sec"]
+        s_tot = sum(v for k, v in a["queries"].items() if k in twin)
+        d_tot = sum(twin.values())
+        total.append(f" {s_tot:.1f} | {d_tot:.1f} | {s_tot / d_tot:.2f}x |")
+    print("| **twin-covered total** |" + "".join(total))
+    shas = {t: arts[t].get("git_sha", "?")[:7] for t in TIERS}
+    print(f"\nartifact shas: {shas}")
+
+
+if __name__ == "__main__":
+    main()

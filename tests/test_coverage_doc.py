@@ -42,3 +42,26 @@ def test_coverage_md_lists_every_op():
     assert not missing, (
         f"ops missing from COVERAGE.md (run scripts/coverage_table.py): "
         f"{missing}")
+
+
+def test_driver_priority_is_a_permutation_of_the_registry():
+    """DRIVER_PRIORITY is hand-ordered each round from the rotation
+    report; a dup or a dropped op silently shrinks/skews the driver's
+    ~50-op verification budget. Pin: exact permutation of OPS."""
+    from agentic_data_pipeline_spark.registry import DRIVER_PRIORITY
+    _ensure_loaded()
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY))
+    assert set(DRIVER_PRIORITY) == set(OPS)
+
+
+def test_hidden_ops_name_their_verifying_twin():
+    """Every driver_visible=False op must point at its hash-green twin in
+    its docstring (the registry contract) — a hidden op with no named
+    twin is unverifiable surface."""
+    _ensure_loaded()
+    for op_id, op_obj in OPS.items():
+        if op_obj.driver_visible:
+            continue
+        doc = op_obj.doc + (op_obj.fn.__doc__ or "")
+        assert ("contract" in doc or "md5" in doc or "twin" in doc
+                or "_md5" in doc), f"{op_id} names no verifying twin"
