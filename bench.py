@@ -308,6 +308,13 @@ def _record_history(artifact: dict) -> dict | None:
         # row measured, and the perf-epoch window it belongs to.
         entry["git_sha"] = artifact.get("git_sha")
         entry["perf_epoch"] = artifact.get("perf_epoch")
+        # Per-query maps per invocation (r8): the detail file keeps only
+        # the LAST invocation, so without these a slower re-run silently
+        # destroys an earlier clean run's per-query evidence; with them,
+        # growth_table.py can merge same-SHA invocations (per-query min ≈
+        # the uncontended time; each is already best-of-3 in-invocation).
+        entry["queries"] = artifact.get("queries")
+        entry["duckdb_twin_sec"] = artifact.get("duckdb_twin_sec")
         with open(hist_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
         with open(hist_path) as f:

@@ -24,8 +24,42 @@ WATCH = [
 
 
 def load(tier: str) -> dict:
+    """Detail artifact for the tier, with per-query times merged down to
+    the min across every SAME-SHA invocation recorded in
+    BENCH_HISTORY.jsonl (each invocation is itself best-of-3; the min
+    over invocations is the least-contended measurement of the SAME
+    code). History rows carry per-query maps since r8; older rows — and
+    the detail file itself — still contribute."""
     path = os.path.join(REPO, "bench_artifacts", f"detail_sf{tier}_v2.json")
-    return json.load(open(path))
+    art = json.load(open(path))
+    sha, sf = art.get("git_sha"), art.get("sf")
+    n_inv = 1
+    hist_path = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+    if os.path.isfile(hist_path):
+        for line in open(hist_path):
+            e = json.loads(line)
+            if e.get("sf") != sf or e.get("set_version") != art.get(
+                    "set_version"):
+                continue
+            e_sha = e.get("git_sha") or ""
+            # compact bench lines truncate the sha to 12 chars; match on
+            # the common prefix. Spark times only merge across the SAME
+            # sha (the engine changed otherwise)...
+            if sha and e_sha.startswith(sha[:len(e_sha)]) \
+                    and e.get("queries"):
+                n_inv += 1
+                for k, v in e["queries"].items():
+                    if k in art["queries"]:
+                        art["queries"][k] = min(art["queries"][k], v)
+            # ...but the DuckDB twin runs oracle SQL, which is pinned by
+            # set_version — its minima merge across every invocation of
+            # the set (the twin's time is engine-code-independent).
+            for k, v in (e.get("duckdb_twin_sec") or {}).items():
+                if k in art["duckdb_twin_sec"]:
+                    art["duckdb_twin_sec"][k] = min(
+                        art["duckdb_twin_sec"][k], v)
+    art["n_merged_invocations"] = n_inv
+    return art
 
 
 def main() -> None:
@@ -57,7 +91,8 @@ def main() -> None:
         d_tot = sum(twin.values())
         total.append(f" {s_tot:.1f} | {d_tot:.1f} | {s_tot / d_tot:.2f}x |")
     print("| **twin-covered total** |" + "".join(total))
-    shas = {t: arts[t].get("git_sha", "?")[:7] for t in TIERS}
+    shas = {t: f"{arts[t].get('git_sha', '?')[:7]}"
+               f"(n={arts[t]['n_merged_invocations']})" for t in TIERS}
     print(f"\nartifact shas: {shas}")
 
 
