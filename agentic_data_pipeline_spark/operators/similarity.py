@@ -912,6 +912,18 @@ def semdedup_k_for(n_vectors: int,
     return max(8, n_vectors // target)
 
 
+# Above this k, semdedup routes through the fused hierarchical path
+# instead of one direct MLlib fit: MLlib KMeans cost is per-iteration-JOB
+# bound, not flop bound, on blocking-sized inputs (r8 measurements at the
+# sf3 lake, 60k × 64-d, cached input: k=31 kmeans||/10 iters = 10.7 s,
+# k=937 = 25 s — vs ~1 GFLOP of actual work), and it grows with k; the
+# hierarchical path fits only k1 = √k coarse centers and finishes the
+# job in numpy inside one applyInPandas. The cap keeps the historically
+# driver-verified small-k tiers (sf≤0.1: k = 8..31) on the original
+# direct plan.
+SEMDEDUP_DIRECT_FIT_CAP = 64
+
+
 def semdedup(emb: DataFrame, k_clusters: int | None = None,
              threshold: float = 0.8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -940,29 +952,37 @@ def semdedup(emb: DataFrame, k_clusters: int | None = None,
 
     from ..functions.vector import dot, l2_norm
 
+    n_vectors = None
     if k_clusters is None:
-        k_clusters = semdedup_k_for(emb.select(id_col).count())
-    if k_clusters > DERIVED_CELLS_DIRECT_CAP:
-        # Past the single-Lloyd-fit regime: the promised IVF swap is now
-        # CODE, not a docstring — hierarchical cells (derive_cells),
-        # re-joined to the vectors without a broadcast (both sides are
-        # corpus-sized).
-        cells = derive_cells(emb, id_col, vec_col)
-        assigned = (emb.select(id_col, vec_col)
-                    .join(cells.hint("shuffle_hash"), id_col)
-                    .select(C(id_col), C("__cell").alias("cluster_id"),
-                            C(vec_col), l2_norm(C(vec_col)).alias("__n"))
-                    .localCheckpoint())
-    else:
-        feats = emb.withColumn(
-            "__features", array_to_vector(C(vec_col).cast("array<double>")))
-        model = KMeans(k=k_clusters, seed=42, maxIter=10,
-                       featuresCol="__features",
-                       predictionCol="cluster_id").fit(feats)
-        assigned = (model.transform(feats).drop("__features")
-                    .select(C(id_col), C("cluster_id").cast("int"),
-                            C(vec_col), l2_norm(C(vec_col)).alias("__n"))
-                    .localCheckpoint())  # pin: reused on both join sides
+        n_vectors = emb.select(id_col).count()
+        k_clusters = semdedup_k_for(n_vectors)
+    if k_clusters > SEMDEDUP_DIRECT_FIT_CAP:
+        # Past the single-Lloyd-fit regime: hierarchical cells FUSED with
+        # the within-cell dedup (r8). The previous shape (derive_cells →
+        # shuffle-hash re-join → localCheckpoint → Catalyst pair join
+        # computing the cosine with interpreted higher-order aggregate
+        # expressions) spent most of its time on ~N·target/2 interpreted
+        # 64-d dot products plus a full corpus materialization; the fused
+        # shape runs ONE applyInPandas per coarse cell that sub-clusters
+        # (same seeded Lloyd as derive_cells — shared _sub_lloyd) and
+        # BLAS-computes each sub-cell's pair cosines in the same pass,
+        # emitting only (id, cluster_id, kept) — input-heavy/output-light
+        # across the Python boundary, one shuffle total, no checkpoint.
+        # A/B at the sf3 lake (fresh noop-write executions): see
+        # BASELINE.md round-8 semdedup fusion section.
+        if n_vectors is None:
+            n_vectors = emb.select(id_col).count()
+        return _semdedup_hier_fused(emb, threshold, id_col, vec_col,
+                                    n_vectors, k_clusters)
+    feats = emb.withColumn(
+        "__features", array_to_vector(C(vec_col).cast("array<double>")))
+    model = KMeans(k=k_clusters, seed=42, maxIter=10,
+                   featuresCol="__features",
+                   predictionCol="cluster_id").fit(feats)
+    assigned = (model.transform(feats).drop("__features")
+                .select(C(id_col), C("cluster_id").cast("int"),
+                        C(vec_col), l2_norm(C(vec_col)).alias("__n"))
+                .localCheckpoint())  # pin: reused on both join sides
     a = assigned.select(C("cluster_id"), C(id_col).alias("a_id"),
                         C(vec_col).alias("a_vec"), C("__n").alias("a_n"))
     b = assigned.select(C("cluster_id").alias("b_cluster"),
@@ -1574,6 +1594,119 @@ DERIVED_CELLS_DIRECT_CAP = 4096
 _CELL_STRIDE = 1_000_000  # final cell id = coarse * stride + sub
 
 
+def _sub_lloyd(m, coarse_id: int, target: int):
+    """Seeded bounded Lloyd over one coarse cell's rows (already sorted
+    by id): the SHARED sub-clustering used by derive_cells and the fused
+    semdedup path — one implementation so both emit identical labels."""
+    k2 = max(1, len(m) // target)
+    if k2 == 1:
+        return np.zeros(len(m), dtype="int64")
+    rng = np.random.default_rng(coarse_id + 1)
+    ctr = m[rng.choice(len(m), size=k2, replace=False)]
+    for _ in range(5):  # bounded Lloyd; cells are ~target²-sized
+        d2 = (ctr * ctr).sum(axis=1)[None, :] - 2.0 * (m @ ctr.T)
+        lab = d2.argmin(axis=1)
+        for j in range(k2):  # recompute non-empty centers
+            sel = lab == j
+            if sel.any():
+                ctr[j] = m[sel].mean(axis=0)
+    return lab.astype("int64")
+
+
+def _coarse_assign(emb: DataFrame, id_col: str, vec_col: str,
+                   n: int, k_cells: int, init_mode: str = "k-means||",
+                   max_iter: int = 10) -> DataFrame:
+    """Coarse stage of the hierarchical construction: k1 ≈ √k_cells
+    MLlib fit on a ≤256k deterministic sample, JVM-side transform of the
+    full corpus (no Python in the corpus-wide map pass — the r7 socket
+    defect fix). Returns (id, vec, __coarse). Shared by derive_cells and
+    the fused semdedup path so both assign identical coarse cells under
+    the default fit params; semdedup passes the starved fit (random
+    init, 5 iters) because a BLOCKING clustering only needs balance, not
+    quality — see the r8 fit-cost measurements in BASELINE.md. The
+    sample featurization is persisted for the fit (MLlib re-executes the
+    input lineage per iteration job otherwise) and released after."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..session import apply_scaled_shuffle
+    apply_scaled_shuffle(emb.sparkSession, n)
+
+    k1 = max(2, int(math.ceil(math.sqrt(k_cells))))
+    frac = min(1.0, 262_144 / n)
+    sample = emb.filter(
+        (F.xxhash64(C(id_col), F.lit(7)) % 1_000_000)
+        < int(frac * 1_000_000)) if frac < 1.0 else emb
+    feats = sample.withColumn(
+        "__f", array_to_vector(C(vec_col).cast("array<double>"))).persist()
+    try:
+        coarse = KMeans(k=k1, seed=42, maxIter=max_iter, initMode=init_mode,
+                        featuresCol="__f", predictionCol="__coarse",
+                        ).fit(feats)
+    finally:
+        feats.unpersist()
+    feats_all = emb.select(id_col, vec_col).withColumn(
+        "__f", array_to_vector(C(vec_col).cast("array<double>")))
+    return (coarse.transform(feats_all)
+            .select(C(id_col), C(vec_col),
+                    C("__coarse").cast("bigint").alias("__coarse")))
+
+
+def _semdedup_hier_fused(emb: DataFrame, threshold: float, id_col: str,
+                         vec_col: str, n_vectors: int, k_clusters: int,
+                         target: int = SEMDEDUP_TARGET_CLUSTER_ROWS
+                         ) -> DataFrame:
+    """Hierarchical semdedup with the sub-clustering and the within-cell
+    dedup FUSED into one applyInPandas (r8): coarse √k MLlib fit +
+    JVM-side assignment (shared _coarse_assign — identical cells to
+    derive_cells), then per coarse cell: shared seeded _sub_lloyd labels
+    + per-sub-cell BLAS cosine matrix + the lowest-id-witness drop rule,
+    emitting (id, cluster_id, kept) directly.
+
+    Scale shape: one shuffle (the groupBy to coarse cells, ~N/√k rows ×
+    d floats per group — bounded the same as derive_cells' sub-fit);
+    the Python boundary carries vectors IN and three narrow columns OUT.
+    The pair work is exactly the within-sub-cell quadratic the blocking
+    admits (~target²/2 per sub-cell), done as one m@m.T GEMM per
+    sub-cell instead of interpreted Catalyst aggregate expressions.
+    Semantics identical to the join form: drop b iff some a<b in the
+    same final cell has cosine(a,b) > threshold (float64 both ways;
+    summation order differs ulp-level from the Catalyst fold — the
+    fixture's near-orthogonal vectors sit nowhere near the margin)."""
+
+    assigned = _coarse_assign(emb, id_col, vec_col, n_vectors, k_clusters,
+                              init_mode="random", max_iter=5)
+
+    def cluster_and_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        coarse_id = int(pdf["__coarse"].iloc[0])
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        lab = _sub_lloyd(m, coarse_id, target)
+        norms = np.sqrt((m * m).sum(axis=1))
+        kept = np.ones(len(pdf), dtype=bool)
+        for j in np.unique(lab):
+            idx = np.flatnonzero(lab == j)  # ascending-id order
+            if len(idx) < 2:
+                continue
+            mm = m[idx]
+            sims = (mm @ mm.T) / np.outer(norms[idx], norms[idx])
+            # drop row b iff any earlier (lower-id) row a has sim > thr
+            drop = np.triu(sims > threshold, k=1).any(axis=0)
+            kept[idx[drop]] = False
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cluster_id": coarse_id * _CELL_STRIDE + lab,
+            "kept": kept})
+
+    return (assigned.groupBy("__coarse")
+            .applyInPandas(cluster_and_dedup,
+                           schema=f"{id_col} bigint, cluster_id bigint, "
+                                  f"kept boolean"))
+
+
 def derive_cells(emb: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  target: int = SEMDEDUP_TARGET_CLUSTER_ROWS,
@@ -1622,43 +1755,14 @@ def derive_cells(emb: DataFrame, id_col: str = "vec_id",
     # validated lives in session.scaled_shuffle_partitions now, so a
     # caller that never read the probe scripts still gets task-state
     # bounded per partition; AQE coalesces any excess).
-    from ..session import apply_scaled_shuffle
-    apply_scaled_shuffle(emb.sparkSession, n)
-
-    k1 = max(2, int(math.ceil(math.sqrt(k_cells))))
-    frac = min(1.0, 262_144 / n)
-    sample = emb.filter(
-        (F.xxhash64(C(id_col), F.lit(7)) % 1_000_000)
-        < int(frac * 1_000_000)) if frac < 1.0 else emb
-    feats = sample.withColumn(
-        "__f", array_to_vector(C(vec_col).cast("array<double>")))
-    coarse = KMeans(k=k1, seed=42, maxIter=10, featuresCol="__f",
-                    predictionCol="__coarse").fit(feats)
-    feats_all = emb.select(id_col, vec_col).withColumn(
-        "__f", array_to_vector(C(vec_col).cast("array<double>")))
-    assigned = (coarse.transform(feats_all)
-                .select(C(id_col), C(vec_col),
-                        C("__coarse").cast("bigint").alias("__coarse")))
+    assigned = _coarse_assign(emb, id_col, vec_col, n, k_cells)
 
     def sub_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         coarse_id = int(pdf["__coarse"].iloc[0])
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf[vec_col]])
-        k2 = max(1, len(pdf) // target)
-        if k2 == 1:
-            sub = np.zeros(len(pdf), dtype="int64")
-        else:
-            rng = np.random.default_rng(coarse_id + 1)
-            ctr = m[rng.choice(len(m), size=k2, replace=False)]
-            for _ in range(5):  # bounded Lloyd; cells are ~target²-sized
-                d2 = (ctr * ctr).sum(axis=1)[None, :] - 2.0 * (m @ ctr.T)
-                lab = d2.argmin(axis=1)
-                for j in range(k2):  # recompute non-empty centers
-                    sel = lab == j
-                    if sel.any():
-                        ctr[j] = m[sel].mean(axis=0)
-            sub = lab.astype("int64")
+        sub = _sub_lloyd(m, coarse_id, target)
         return pd.DataFrame({
             id_col: pdf[id_col],
             "__cell": coarse_id * _CELL_STRIDE + sub})

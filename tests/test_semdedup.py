@@ -144,3 +144,36 @@ def test_knn_graph_derived_contract_and_blocking(spark, sf_dir):
                 assert abs(sim - np.floor(sims[i][j] * 1e6 + 1e-3) / 1e6) \
                     < 2e-6
     assert len(got) == n_expected
+
+
+def test_semdedup_fused_hierarchical_matches_bruteforce(spark, sf_dir):
+    """Forcing k past SEMDEDUP_DIRECT_FIT_CAP routes through the r8 fused
+    hierarchical path (coarse MLlib fit → one applyInPandas doing the
+    seeded sub-Lloyd AND the within-sub-cell BLAS dedup). Same pin as the
+    direct-path test: the keep set must match a numpy re-derivation of
+    the drop rule from the op's OWN cluster assignments, and the output
+    must stay a total partition of the corpus."""
+    from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.similarity import (
+        SEMDEDUP_DIRECT_FIT_CAP, semdedup)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    forced_k = SEMDEDUP_DIRECT_FIT_CAP * 8
+    out = {r["vec_id"]: (r["cluster_id"], r["kept"])
+           for r in semdedup(emb, k_clusters=forced_k,
+                             threshold=0.35).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert set(out) == set(vecs)
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cid, _) in out.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    for cid, ids in by_cluster.items():
+        ids.sort()
+        m = np.stack([vecs[i] for i in ids])
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        for pos, vid in enumerate(ids):
+            expect = not bool((sims[pos, :pos] > 0.35).any())
+            assert out[vid][1] == expect, (cid, vid)
