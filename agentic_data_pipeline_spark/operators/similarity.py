@@ -919,9 +919,10 @@ def semdedup_k_for(n_vectors: int,
 # k=937 = 25 s — vs ~1 GFLOP of actual work), and it grows with k; the
 # hierarchical path fits only k1 = √k coarse centers and finishes the
 # job in numpy inside one applyInPandas. The cap keeps the historically
-# driver-verified small-k tiers (sf≤0.1: k = 8..31) on the original
-# direct plan.
-SEMDEDUP_DIRECT_FIT_CAP = 64
+# driver-verified small-k tiers (sf0.001/sf0.01: k = 8) on the original
+# direct plan; sf0.1's k = 31 already wins from routing fused (measured
+# 2.8 s direct vs 1.4 s fused at the sf0.1 fixture).
+SEMDEDUP_DIRECT_FIT_CAP = 16
 
 
 def semdedup(emb: DataFrame, k_clusters: int | None = None,
