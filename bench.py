@@ -114,9 +114,10 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r8a"  # r8: ext_text_stats + shared quality expression moved
-                    # to translate()/run-count constructions (both
-                    # engines) — headline timings shift, new epoch window
+PERF_EPOCH = "r8b"  # r8 late: semdedup fit-fusion (direct MLlib fit ->
+                    # fused hierarchical for k>16) moves the headline at
+                    # every tier AND de-pressures the shared session, so
+                    # pre-fusion invocations are a different population
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
