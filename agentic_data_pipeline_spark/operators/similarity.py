@@ -981,7 +981,7 @@ def semdedup(emb: DataFrame, k_clusters: int | None = None,
                    featuresCol="__features",
                    predictionCol="cluster_id").fit(feats)
     assigned = (model.transform(feats).drop("__features")
-                .select(C(id_col), C("cluster_id").cast("int"),
+                .select(C(id_col), C("cluster_id").cast("bigint"),
                         C(vec_col), l2_norm(C(vec_col)).alias("__n"))
                 .localCheckpoint())  # pin: reused on both join sides
     a = assigned.select(C("cluster_id"), C(id_col).alias("a_id"),
@@ -1637,8 +1637,11 @@ def _coarse_assign(emb: DataFrame, id_col: str, vec_col: str,
 
     k1 = max(2, int(math.ceil(math.sqrt(k_cells))))
     frac = min(1.0, 262_144 / n)
+    # pmod, not %: Spark % keeps the dividend's sign, so ~half the corpus
+    # (negative xxhash64) would pass any threshold and the "<=256k sample"
+    # would be ~n/2 (r8 ADVICE; same construction as the LSH salt below).
     sample = emb.filter(
-        (F.xxhash64(C(id_col), F.lit(7)) % 1_000_000)
+        F.pmod(F.xxhash64(C(id_col), F.lit(7)), F.lit(1_000_000))
         < int(frac * 1_000_000)) if frac < 1.0 else emb
     feats = sample.withColumn(
         "__f", array_to_vector(C(vec_col).cast("array<double>"))).persist()
@@ -1661,8 +1664,10 @@ def _semdedup_hier_fused(emb: DataFrame, threshold: float, id_col: str,
                          ) -> DataFrame:
     """Hierarchical semdedup with the sub-clustering and the within-cell
     dedup FUSED into one applyInPandas (r8): coarse √k MLlib fit +
-    JVM-side assignment (shared _coarse_assign — identical cells to
-    derive_cells), then per coarse cell: shared seeded _sub_lloyd labels
+    JVM-side assignment (same coarse construction as derive_cells via
+    the shared _coarse_assign, but with starved fit params — random
+    init, 5 iters — so the cells are NOT bit-identical between the two
+    callers), then per coarse cell: shared seeded _sub_lloyd labels
     + per-sub-cell BLAS cosine matrix + the lowest-id-witness drop rule,
     emitting (id, cluster_id, kept) directly.
 
@@ -1702,9 +1707,15 @@ def _semdedup_hier_fused(emb: DataFrame, threshold: float, id_col: str,
             "cluster_id": coarse_id * _CELL_STRIDE + lab,
             "kept": kept})
 
+    # Preserve the caller's id type (semdedup is generic over id_col —
+    # r8 ADVICE: a hardcoded bigint broke non-bigint ids on the k>16
+    # path only, and the schema silently changed across the fit-cap
+    # boundary). cluster_id stays bigint on BOTH paths (see the direct
+    # path's matching cast in semdedup()).
+    id_type = emb.schema[id_col].dataType.simpleString()
     return (assigned.groupBy("__coarse")
             .applyInPandas(cluster_and_dedup,
-                           schema=f"{id_col} bigint, cluster_id bigint, "
+                           schema=f"{id_col} {id_type}, cluster_id bigint, "
                                   f"kept boolean"))
 
 

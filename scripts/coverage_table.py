@@ -210,6 +210,30 @@ def render() -> str:
     return "\n".join(lines) + "\n"
 
 
+def evidence_invariant(text: str) -> str:
+    """Project COVERAGE.md content onto its evidence-independent part:
+    blank the driver-evidence column of every table row and the counts in
+    the Totals line. The content pin (tests/test_coverage_doc.py) compares
+    this projection, so a CORRECTNESS_r{N}.json landing AFTER close-out
+    (guaranteed every round — the driver writes it post-commit) can never
+    fail the suite, while genuine drift (anchors, op list, summaries,
+    verification mode) still does (r8 verdict item 1)."""
+    import re
+
+    out = []
+    for line in text.splitlines():
+        if line.startswith("| `"):
+            cells = line.split(" | ")
+            if len(cells) == 5:
+                cells[2] = "<evidence>"
+                line = " | ".join(cells)
+        elif line.startswith("**Totals:"):
+            line = re.sub(r"\d+ hash-pass accumulated, \d+ queued",
+                          "<evidence>", line)
+        out.append(line)
+    return "\n".join(out)
+
+
 def main() -> None:
     content = render()
     with open(os.path.join(os.path.dirname(os.path.dirname(

@@ -41,11 +41,16 @@ def load(tier: str) -> dict:
             if e.get("sf") != sf or e.get("set_version") != art.get(
                     "set_version"):
                 continue
+            if e.get("invocation_unix") == art.get("invocation_unix"):
+                continue  # the artifact's own run also logs a history row
+                # — counting it would overstate n_inv by one (r8 ADVICE)
             e_sha = e.get("git_sha") or ""
             # compact bench lines truncate the sha to 12 chars; match on
-            # the common prefix. Spark times only merge across the SAME
-            # sha (the engine changed otherwise)...
-            if sha and e_sha.startswith(sha[:len(e_sha)]) \
+            # the common prefix — but BOTH shas must be non-empty, or a
+            # row recorded outside a git checkout (git_sha=None → "")
+            # would prefix-match everything (r8 ADVICE). Spark times only
+            # merge across the SAME sha (the engine changed otherwise)...
+            if sha and e_sha and e_sha.startswith(sha[:len(e_sha)]) \
                     and e.get("queries"):
                 n_inv += 1
                 for k, v in e["queries"].items():

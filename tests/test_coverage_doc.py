@@ -21,18 +21,29 @@ def _coverage_module():
 
 
 def test_coverage_md_matches_generator_exactly():
+    """Exact pin, except the driver-evidence column: the driver writes
+    CORRECTNESS_r{N}.json AFTER each round's close-out commit, so the
+    committed doc's evidence column is one round behind at the start of
+    every round BY CONSTRUCTION (r8 verdict item 1 — this used to make the
+    suite red at HEAD each round). Evidence-only drift is auto-blessed via
+    coverage_table.evidence_invariant(); anchors, op list, verification
+    modes, and summaries remain exactly pinned."""
     _ensure_loaded()
+    mod = _coverage_module()
     committed = open(os.path.join(REPO, "COVERAGE.md")).read()
-    expected = _coverage_module().render()
-    if committed != expected:
-        import difflib
-        diff = "\n".join(difflib.unified_diff(
-            committed.splitlines(), expected.splitlines(),
-            "COVERAGE.md (committed)", "render() (expected)", lineterm="",
-            n=0))
-        raise AssertionError(
-            "COVERAGE.md is stale — run `python scripts/coverage_table.py` "
-            f"and commit. Diff:\n{diff[:4000]}")
+    expected = mod.render()
+    if committed == expected:
+        return
+    if mod.evidence_invariant(committed) == mod.evidence_invariant(expected):
+        return  # driver evidence landed after close-out — regenerate at will
+    import difflib
+    diff = "\n".join(difflib.unified_diff(
+        committed.splitlines(), expected.splitlines(),
+        "COVERAGE.md (committed)", "render() (expected)", lineterm="",
+        n=0))
+    raise AssertionError(
+        "COVERAGE.md is stale beyond the evidence column — run "
+        f"`python scripts/coverage_table.py` and commit. Diff:\n{diff[:4000]}")
 
 
 def test_coverage_md_lists_every_op():
