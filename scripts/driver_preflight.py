@@ -40,6 +40,24 @@ def main() -> None:
     qs, osql = contract.queries(), contract.oracle_sql()
     duck = duck_connect(sf)
     head = list(qs)[:n_budget]
+
+    # Budget-hygiene preflight (r8 verdict item 7): every slot in the
+    # driver's budget window must be a driver_visible op WITH an oracle —
+    # a hidden or oracle-less op in the window burns a slot on a
+    # guaranteed no_oracle row. queries() already filters hidden ops;
+    # this asserts the DRIVER_PRIORITY head and the queries() head agree
+    # (a hidden op slipped into the priority head silently shifts the
+    # window) and that each windowed op has oracle SQL.
+    from agentic_data_pipeline_spark.registry import (DRIVER_PRIORITY, OPS,
+                                                      _ensure_loaded)
+    _ensure_loaded()
+    visible_head = [o for o in DRIVER_PRIORITY
+                    if OPS[o].driver_visible][:n_budget]
+    assert visible_head == head, (
+        "queries() order diverged from DRIVER_PRIORITY's visible head: "
+        f"{[x for x in zip(visible_head, head) if x[0] != x[1]][:5]}")
+    no_oracle = [o for o in head if o not in osql]
+    assert not no_oracle, f"budget window has oracle-less ops: {no_oracle}"
     fails, t0 = [], time.time()
     for name in head:
         try:

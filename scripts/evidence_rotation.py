@@ -57,14 +57,14 @@ def correctness_union() -> dict[str, int]:
     return last
 
 
-def impl_files() -> dict[str, str]:
-    """op -> repo-relative impl file, from each registered fn's module."""
+def impl_sites() -> dict[str, tuple[str, str]]:
+    """op -> (repo-relative impl file, def name), from the registry."""
     from agentic_data_pipeline_spark import registry
     registry._ensure_loaded()
     out = {}
     for op_id, op in registry.OPS.items():
         mod = sys.modules[op.fn.__module__]
-        out[op_id] = os.path.relpath(mod.__file__, REPO)
+        out[op_id] = (os.path.relpath(mod.__file__, REPO), op.fn.__name__)
     return out
 
 
@@ -75,6 +75,24 @@ def last_change_ts(files: set[str]) -> dict[str, int]:
         r = subprocess.run(["git", "log", "-1", "--format=%ct", "--", f],
                            cwd=REPO, capture_output=True, text=True)
         out[f] = int(r.stdout.strip() or 0)
+    return out
+
+
+def func_change_ts(sites: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """(file, func) -> unix ts of the last commit whose diff touched the
+    FUNCTION BODY (git log -L :func:file with the python diff driver from
+    .gitattributes). File-level staleness over-counts badly — an edit to
+    one function marks every op in the file stale (r8: the q9/q15/q16/q21
+    rewrites staleness-marked tpch_full.py's whole 22-op cohort). 0 when
+    git can't resolve the function (decorated out, renamed): caller falls
+    back to file granularity for that op."""
+    out = {}
+    for f, fn in sorted(sites):
+        r = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", f"-L:{fn}:{f}"],
+            cwd=REPO, capture_output=True, text=True)
+        first = r.stdout.splitlines()[0].strip() if r.stdout else ""
+        out[(f, fn)] = int(first) if first.isdigit() else 0
     return out
 
 
@@ -90,24 +108,40 @@ def build_report():
         return round_ids[-1] + 1 if i >= len(round_ids) else round_ids[i]
 
     evidence = correctness_union()
-    files = impl_files()
-    changes = last_change_ts(set(files.values()))
+    sites = impl_sites()
+    changes = last_change_ts({f for f, _ in sites.values()})
+    fchanges = func_change_ts(set(sites.values()))
 
     rows = []
-    for op_id, f in sorted(files.items()):
+    for op_id, (f, fn) in sorted(sites.items()):
         last_round = evidence.get(op_id, 0)
-        changed_round = ts_to_round(changes[f])
+        file_round = ts_to_round(changes[f])
+        fts = fchanges[(f, fn)]
+        func_round = ts_to_round(fts) if fts else None
         # Evidence round R was produced from code as of the round-R close;
         # a change committed in round R itself lands before that close and
         # IS covered, so stale means strictly-later change.
-        stale = last_round > 0 and changed_round > last_round
-        rows.append({"op": op_id, "file": f, "last_round": last_round,
-                     "impl_changed_round": changed_round, "stale": stale})
+        # Two tiers (r8 verdict item 3): stale_func = the op's OWN def
+        # changed after its last driver row (the real alarm); stale_file =
+        # only the surrounding file changed (shared helpers may have moved
+        # under it — softer signal, still worth rotating through).
+        stale_func = (last_round > 0 and func_round is not None
+                      and func_round > last_round)
+        stale_file = (last_round > 0 and file_round > last_round
+                      and not stale_func)
+        rows.append({"op": op_id, "file": f, "func": fn,
+                     "last_round": last_round,
+                     "impl_changed_round": file_round,
+                     "func_changed_round": func_round,
+                     "stale": stale_func or stale_file,
+                     "stale_func": stale_func, "stale_file": stale_file})
 
     def key(r):
         never = r["last_round"] == 0
-        return (0 if r["stale"] else (1 if never else 2),
-                r["last_round"], r["op"])
+        tier = (0 if r["stale_func"] else
+                1 if never else
+                2 if r["stale_file"] else 3)
+        return (tier, r["last_round"], r["op"])
 
     rows.sort(key=key)
     return rows
@@ -117,20 +151,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--priority", action="store_true",
+                    help="emit the full DRIVER_PRIORITY tuple source, "
+                         "driver_visible ops first in rotation order "
+                         "(paste into registry.py at round close)")
     args = ap.parse_args()
     rows = build_report()
+    if args.priority:
+        from agentic_data_pipeline_spark import registry
+        registry._ensure_loaded()
+        # hidden ops go LAST (they can never earn a hash row; the ~50-op
+        # budget window must be spent entirely on driver_visible ops)
+        ordered = ([r["op"] for r in rows
+                    if registry.OPS[r["op"]].driver_visible]
+                   + [r["op"] for r in rows
+                      if not registry.OPS[r["op"]].driver_visible])
+        print("DRIVER_PRIORITY: tuple[str, ...] = (")
+        for o in ordered:
+            print(f'    "{o}",')
+        print(")")
+        return
     if args.limit:
         rows = rows[:args.limit]
     if args.json:
         json.dump(rows, sys.stdout, indent=1)
         return
-    n_stale = sum(r["stale"] for r in rows)
-    print(f"# ops={len(rows)} stale={n_stale} "
+    print(f"# ops={len(rows)} stale_func={sum(r['stale_func'] for r in rows)} "
+          f"stale_file={sum(r['stale_file'] for r in rows)} "
           f"never={sum(r['last_round'] == 0 for r in rows)}")
     for r in rows:
-        tag = "STALE" if r["stale"] else ("NEVER" if r["last_round"] == 0
-                                          else "fresh")
-        print(f"{tag:5s} r{r['last_round']:02d} chg_r{r['impl_changed_round']:02d} "
+        tag = ("FUNC!" if r["stale_func"] else
+               "NEVER" if r["last_round"] == 0 else
+               "file~" if r["stale_file"] else "fresh")
+        fr = (f"fn_r{r['func_changed_round']:02d}"
+              if r["func_changed_round"] else "fn_r??")
+        print(f"{tag:5s} r{r['last_round']:02d} {fr} "
+              f"chg_r{r['impl_changed_round']:02d} "
               f"{r['op']:38s} {r['file']}")
 
 

@@ -425,9 +425,20 @@ def test_topic_model_per_doc_artifact(spark, sf_dir):
         assert abs(r["dist_sum"] - 1.0) <= 1e-6
         assert 1.0 / K_TOPICS - 1e-9 <= r["topic_weight"] <= 1.0
 
+    # Reproducibility pin with a borderline tolerance (r8 verdict item 6):
+    # the seeded fit is deterministic in its sampling, but treeAggregate's
+    # float summation order varies with task completion order, so under
+    # machine contention a handful of docs whose top-2 topics are within
+    # ulp-noise of each other can flip argmax (observed once under
+    # deliberate 2-session load). A lost seed would disagree broadly;
+    # scheduler noise flips at most a sliver — pin >=98% agreement.
     again = {r["doc_id"]: r["topic_id"] for r in fit_topics(docs).collect()}
-    assert again == {r["doc_id"]: r["topic_id"] for r in out}, \
-        "seeded LDA fit must be reproducible"
+    first = {r["doc_id"]: r["topic_id"] for r in out}
+    assert set(again) == set(first)
+    n_same = sum(again[d] == t for d, t in first.items())
+    assert n_same >= 0.98 * len(first), (
+        f"seeded LDA fit must be reproducible (modulo borderline argmax "
+        f"flips): {len(first) - n_same}/{len(first)} docs disagree")
 
 
 # ----------------------------------------------------------- quantize
