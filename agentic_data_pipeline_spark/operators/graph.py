@@ -22,7 +22,8 @@ C = F.col
 
 
 def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
-             iters: int = 10) -> DataFrame:
+             iters: int = 10, checkpoint_every: int = 1,
+             reliable_dir: str | None = None) -> DataFrame:
     """PageRank by power iteration. ``vertices``: one column ``id``;
     ``edges``: ``src``, ``dst`` (directed, unweighted).
 
@@ -36,8 +37,27 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
     localCheckpoint cuts the per-round lineage. At 100 TB-corpus graph
     sizes the state is two (id, double) tables partitioned on id; rounds
     are fixed-count, so the whole run is `iters` bounded shuffles.
+
+    Lineage-cut knobs (r8 verdict item 5 — the per-round localCheckpoint
+    keeps 10 intermediate states as in-memory blocks and was suspected as
+    the sf0.1 bench-variance source): ``checkpoint_every`` cuts every Nth
+    round instead of every round (the uncut rounds' plans double once —
+    each round reads the prior state twice — so keep it small);
+    ``reliable_dir`` switches to disk-backed ``df.checkpoint()`` (sets the
+    checkpoint dir, no executor-memory blocks, GC-quiet). Ranks are
+    bit-identical across all variants (same arithmetic, same plans modulo
+    the cut); scripts/probe_pagerank_checkpoint.py is the measured A/B.
     """
     from pyspark.sql import Window
+
+    if reliable_dir is not None:
+        vertices.sparkSession.sparkContext.setCheckpointDir(reliable_dir)
+
+    def cut(df: DataFrame, rnd: int) -> DataFrame:
+        if (rnd + 1) % max(1, checkpoint_every) != 0:
+            return df
+        return (df.checkpoint() if reliable_dir is not None
+                else df.localCheckpoint())
 
     n = vertices.count()
     # Out-degree weights via a window over src: ONE pass over the edge
@@ -64,7 +84,7 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
              .select("id", F.lit(1.0 / n).alias("rank"),
                      F.coalesce(C("__has"), F.lit(False)).alias("has_out"))
              .localCheckpoint())
-    for _ in range(iters):
+    for _it in range(iters):
         dang = (ranks.filter(~C("has_out"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
         contribs = (w_edges.join(ranks.select("id", "rank"),
@@ -83,8 +103,8 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
                           + F.lit(damping) * F.coalesce(C("contrib"),
                                                         F.lit(0.0)))
                          .alias("rank"),
-                         "has_out")
-                 .localCheckpoint())
+                         "has_out"))
+        ranks = cut(ranks, _it)
     return ranks.select("id", "rank")
 
 

@@ -793,27 +793,22 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_LSH_RECALL_FLOOR)
 
 
-@op("ext_kmeans_clusters", driver_visible=False)  # rows-only by design:
-# float iteration order is engine-local. Driver verification runs through
-# the hash-green ext_kmeans_contract (same fit, invariants oracle-checked).
-def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus clustering: MLlib k-means over the embedding column (fixed
-    seed), emitting per-cluster size and centroid norm — the standard
-    corpus-organization / topic-bucketing pass before per-cluster sampling
-    or dedup in a training-data pipeline.
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering artifact: MLlib k-means over the embedding column
+    (fixed seed), emitting per-cluster size, min member id, and centroid
+    norm — the standard corpus-organization / topic-bucketing pass before
+    per-cluster sampling or dedup in a training-data pipeline. Library
+    form: sizes and centroid norms are engine-local floats, so the
+    REGISTERED op (ext_kmeans_clusters) emits the invariant fold instead.
 
     Scale shape: k-means|| init + Lloyd iterations are each one map
     (distance to k centroids, local partial sums) + one tiny reduce (k
     centroid updates) — embarrassingly parallel per iteration; the model
     (k × dim doubles) broadcasts. Also the IVF coarse quantizer
     (ext_ann_ivf) if its cells are trained rather than hashed.
-
-    Rows-only by design (learned centroids are engine-local); driver
-    verification runs through the hash-green twin ext_kmeans_contract
-    (same fit, invariants oracle-checked).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id",
@@ -832,6 +827,74 @@ def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster_id int, centroid_norm double"),
             "cluster_id")
     )
+
+
+@op("ext_kmeans_clusters", oracle="""
+    SELECT CAST(t.r AS INT) AS cluster_rank,
+           TRUE AS nearest_ok,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_total
+    FROM range(8) t(r)
+""")
+def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-means (k=8, seed 42) with the verification contract FOLDED
+    into the op output (r8 verdict item 8 — this retired the separate
+    ext_kmeans_contract twin): one row per fitted cluster, relabeled
+    deterministically by each cluster's minimum member vec_id (raw MLlib
+    cluster indices are init-order-local), carrying the invariants the
+    DuckDB twin can replay exactly:
+
+    - 8 rows with cluster_rank 0..7 — a collapsed/duplicated-centroid fit
+      emits fewer rows and fails the row-count gate;
+    - nearest_ok — every member's assigned centroid is the argmin over
+      the 8 centers by squared L2, recomputed as a pure Catalyst
+      expression (‖x‖² − 2⟨x,c⟩ + ‖c‖², centers broadcast as literals)
+      with a relative tolerance absorbing MLlib's fastSquaredDistance
+      shortcut on near-ties;
+    - n_total — the per-cluster sizes summed over all clusters, which
+      equals COUNT(embeddings) only if the assignment is a total
+      partition (every vector assigned exactly once).
+
+    The rich artifact (sizes, centroid norms) stays available as the
+    kmeans_clusters() library function. Scale shape: the fit is
+    per-iteration map + k-row reduce; the fold adds one dim-sized
+    aggregate and a k-row window — nothing corpus-sized after the fit.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding",
+                      array_to_vector(C("embedding").cast("array<double>"))
+                      .alias("__f"))
+    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="__f",
+                   predictionCol="cluster_id").fit(vecs)
+    assigned = model.transform(vecs).drop("__f")
+
+    e = C("embedding")
+    dists = []
+    for center in model.clusterCenters():
+        cs = [float(x) for x in center]
+        cn2 = 0.0
+        for x in cs:
+            cn2 += x * x
+        carr = F.array(*[F.lit(x) for x in cs])
+        dists.append(dot(e, e) - 2 * dot(e, carr) + F.lit(cn2))
+    assigned_d2 = F.element_at(F.array(*dists), C("cluster_id") + 1)
+    min_d2 = F.least(*dists)
+    row_ok = assigned_d2 <= min_d2 * (1 + 1e-4) + F.lit(1e-6)
+
+    per = (assigned.groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.min("vec_id").alias("__min_id"),
+                F.min(row_ok).alias("nearest_ok")))
+    return per.select(
+        (F.row_number().over(Window.orderBy("__min_id")) - 1)
+        .cast("int").alias("cluster_rank"),
+        "nearest_ok",
+        F.sum("__n").over(Window.partitionBy())
+        .cast("bigint").alias("n_total"))
 
 
 def similarity_topk_batch(index: DataFrame, queries: dict[int, list[float]],
@@ -1129,64 +1192,6 @@ def ext_semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (C("__n_dup") == 0).alias("kept_no_dup_ok")))
 
 
-@op("ext_kmeans_contract", oracle="""
-    SELECT CAST(COUNT(*) AS INT) AS n_vectors,
-           CAST(8 AS INT) AS k,
-           CAST(MAX(len(embedding)) AS INT) AS dim,
-           TRUE AS sizes_sum_ok,
-           TRUE AS all_nearest_ok,
-           TRUE AS all_clusters_nonempty
-    FROM embeddings
-""")
-def ext_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-hashed contract for ext_kmeans_clusters (r6 rows-only
-    conversion): fits the SAME MLlib k-means (k=8, seed 42) and verifies
-    the model from scratch — every vector's assigned centroid must be the
-    argmin over the 8 cluster centers by squared L2, recomputed as a pure
-    Catalyst expression (‖x‖² − 2⟨x,c⟩ + ‖c‖², centers broadcast as
-    literals) with a relative tolerance that absorbs MLlib's
-    fastSquaredDistance shortcut on near-ties. Cross-engine-exact fields:
-    n_vectors, k, dim; booleans asserted TRUE by the twin: sizes_sum_ok
-    (one non-null assignment per vector), all_nearest_ok, and
-    all_clusters_nonempty (seeded fit on the fixture fills all 8 — a
-    collapsed/duplicated-centroid fit fails the driver)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from ..functions.vector import dot
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", "embedding",
-                      array_to_vector(C("embedding").cast("array<double>"))
-                      .alias("__f"))
-    model = KMeans(k=8, seed=42, maxIter=10, featuresCol="__f",
-                   predictionCol="cluster_id").fit(vecs)
-    assigned = model.transform(vecs).drop("__f")
-
-    e = C("embedding")
-    dists = []
-    for center in model.clusterCenters():
-        cs = [float(x) for x in center]
-        cn2 = 0.0
-        for x in cs:
-            cn2 += x * x
-        carr = F.array(*[F.lit(x) for x in cs])
-        dists.append(dot(e, e) - 2 * dot(e, carr) + F.lit(cn2))
-    assigned_d2 = F.element_at(F.array(*dists), C("cluster_id") + 1)
-    min_d2 = F.least(*dists)
-    row_ok = assigned_d2 <= min_d2 * (1 + 1e-4) + F.lit(1e-6)
-
-    n_row = emb.agg(F.count(F.lit(1)).cast("int").alias("n_vectors"),
-                    F.max(F.size("embedding")).cast("int").alias("dim"))
-    fit_row = assigned.agg(
-        F.count("cluster_id").alias("__n_assigned"),
-        F.min(row_ok).alias("all_nearest_ok"),
-        F.countDistinct("cluster_id").alias("__n_clusters"))
-    return (n_row.crossJoin(F.broadcast(fit_row))
-            .select("n_vectors", F.lit(8).cast("int").alias("k"), "dim",
-                    (C("__n_assigned") == C("n_vectors")).alias("sizes_sum_ok"),
-                    "all_nearest_ok",
-                    (C("__n_clusters") == 8).alias("all_clusters_nonempty")))
 
 
 _KNN_GRAPH_ORACLE = f"""

@@ -109,7 +109,8 @@ def ext_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-document dominant topics are the op's real artifact; they
     stay engine-local (variational init is seed-dependent), so — like
-    ext_kmeans_contract — the registered row is the invariant fold, and
+    ext_kmeans_clusters' folded contract — the registered row is the
+    invariant fold, and
     tests/test_topics.py pins the per-doc output semantics (partition,
     argmax consistency, reproducibility under the fixed seed)."""
     docs = load_table(spark, sf_dir, "documents")

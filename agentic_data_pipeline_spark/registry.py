@@ -124,7 +124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_dedup_simhash_md5", "ext_dedup_substring", "ext_dp_mean",
     "ext_embed_word2vec", "ext_heavy_hitters", "ext_hybrid_search",
     "ext_image_dedup_ahash", "ext_k_anonymity", "ext_k_anonymity_enforce",
-    "ext_kmeans_contract", "ext_knn_graph_derived", "ext_pagerank",
+    "ext_knn_graph_derived", "ext_pagerank",
     "ext_resize_png", "ext_semdedup", "ext_similarity_topk_batch",
     "ext_triangle_count", "ext_video_dedup_scenehash", "ext_video_frames",
     "ext_vocab_coverage", "q1_pricing_summary", "ext_asof_join",

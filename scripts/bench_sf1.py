@@ -66,6 +66,19 @@ from bench import CLASSIC, HEADLINE as _V2, REBUILD  # noqa: E402
 SKIPPED: dict[str, str] = {}
 HEADLINE = [n for n in _V2 if n not in SKIPPED]
 
+# SPARK_GRAFT_ONLY="q16_part_supplier_counts,q22_dormant_customers" runs a
+# SUBSET tier probe (r8 verdict item 4: the weak-mark growth rows at sf10
+# don't need the other ~38 queries). Subset runs record set_version
+# "v2sub" so their partial totals can never merge into the full-set
+# medians of record.
+_ONLY = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
+SET_VERSION = "v2"
+if _ONLY:
+    unknown = [n for n in _ONLY if n not in HEADLINE]
+    assert not unknown, f"SPARK_GRAFT_ONLY not in the v2 set: {unknown}"
+    HEADLINE = [n for n in HEADLINE if n in _ONLY]
+    SET_VERSION = "v2sub"
+
 
 def build_lake() -> None:
     import duckdb
@@ -164,7 +177,7 @@ def main() -> None:
         "metric": f"{_TIER_TAG}_headline_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec", "sf": TIER_SF, "replicas_of_sf0.1": REPLICAS,
-        "set_version": "v2", "n_queries": len(HEADLINE),
+        "set_version": SET_VERSION, "n_queries": len(HEADLINE),
         "queries": timings, "duckdb_twin_sec": duck,
         "spark_cov_sec": round(s, 3), "duck_cov_sec": round(d, 3),
         "spark_over_duckdb_ratio": round(s / d, 3) if d else None,
@@ -198,7 +211,7 @@ def main() -> None:
     artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"] if rec
                                    else artifact["spark_over_duckdb_ratio"])
     artifact["of_record_provenance"] = {"window": window}
-    detail = write_detail(artifact, f"{_TIER_TAG}_v2")
+    detail = write_detail(artifact, f"{_TIER_TAG}_{SET_VERSION}")
     print(json.dumps(compact_line(artifact, detail),
                      separators=(",", ":")))
 

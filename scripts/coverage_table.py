@@ -54,7 +54,7 @@ SECTIONS = [
         "ext_dedup_resolve", "ext_similarity_topk",
         "ext_similarity_topk_batch", "ext_tfidf",
         "ext_ann_lsh", "ext_ann_ivf", "ext_ann_pq", "vector_search_batch",
-        "ext_kmeans_clusters", "ext_semdedup_contract", "ext_kmeans_contract",
+        "ext_kmeans_clusters", "ext_semdedup_contract",
         "ext_text_stats", "ext_lang_id", "ext_token_count",
         "ext_quality_score", "ext_repetition", "ext_fingerprint", "ext_multimodal",
         "ext_frame_sample", "ext_resize", "ext_resize_png", "ext_audio_features", "ext_video_frames",
