@@ -114,10 +114,12 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r8b"  # r8 late: semdedup fit-fusion (direct MLlib fit ->
-                    # fused hierarchical for k>16) moves the headline at
-                    # every tier AND de-pressures the shared session, so
-                    # pre-fusion invocations are a different population
+PERF_EPOCH = "r9a"  # r9: q22 anti join broadcast -> shuffle-hash (in the
+                    # v2 set at every tier) — a measured plan change, so
+                    # r8b invocations are a different population. (The r9
+                    # pmod sample fix changes no bench tier: every tier's
+                    # embedding count sits under the 262,144 sample
+                    # threshold.)
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3

@@ -15,7 +15,9 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TIERS = ["0.1", "1", "3"]
+TIERS = ["0.1", "1", "3", "10"]  # sf10 is the r9 WATCH-SUBSET tier
+# (SPARK_GRAFT_ONLY, set_version v2sub): its artifact carries only the 8
+# watch queries, so its "twin-covered total" covers just those.
 WATCH = [
     "q9_product_profit", "q15_top_supplier", "q21_waiting_suppliers",
     "q16_part_supplier_counts", "q17_small_quantity", "q18_large_orders",
@@ -31,6 +33,9 @@ def load(tier: str) -> dict:
     code). History rows carry per-query maps since r8; older rows — and
     the detail file itself — still contribute."""
     path = os.path.join(REPO, "bench_artifacts", f"detail_sf{tier}_v2.json")
+    if not os.path.isfile(path):  # subset tier (sf10): v2sub artifact
+        path = os.path.join(REPO, "bench_artifacts",
+                            f"detail_sf{tier}_v2sub.json")
     art = json.load(open(path))
     sha, sf = art.get("git_sha"), art.get("sf")
     n_inv = 1
