@@ -30,6 +30,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime semi-join reduction: inject a bloom filter from a selective
+    # join side into the other side's scan/shuffle (off by default in
+    # OSS). Measured r9 on the watch set, interleaved fresh-write A/B:
+    # sf10 20.43 -> 19.48 s, sf0.1 4.86 -> 4.48 s, rows identical; and
+    # the reduction VALUE grows with fact size (at 100 TB, pruning the
+    # orders shuffle by the part-filtered lineitem keys is a first-order
+    # win), so scale-first says on.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # pandas/Arrow interchange for vectorized UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
