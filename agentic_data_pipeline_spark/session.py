@@ -56,6 +56,9 @@ def tune(spark: SparkSession) -> SparkSession:
     left untouched.
     """
     for k, v in RUNTIME_CONFS.items():
+        if (k == "spark.sql.optimizer.runtime.bloomFilter.enabled"
+                and os.environ.get("SPARK_GRAFT_NO_BLOOM")):
+            v = "false"  # diagnostic escape hatch for bench attribution
         try:
             spark.conf.set(k, v)
         except Exception:
