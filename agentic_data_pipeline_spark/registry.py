@@ -63,87 +63,242 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
 
 # Driver-facing iteration order. The driver verifies ops in queries()-dict
-# order with a bounded per-round budget (~50 ops/round observed), so the
-# ordering is now GENERATED each round by scripts/evidence_rotation.py
-# (r7 verdict item 1): the round's NEW ops and ops whose oracle/impl
-# changed lead (incl. the q9/q15 plan rewrites), then every op whose impl
-# file changed AFTER its last driver row (stale evidence, oldest first),
-# then fresh ops by evidence age. q18/q17 and the other r6-rewritten
-# analytics — whose last external hash check was r1 — sit directly behind
-# the r8 frontier.
+# order with a bounded per-round budget (~50 ops/round observed). The
+# ordering is GENERATED each round by
+# `python scripts/evidence_rotation.py --priority` (r8 verdict items 2-3:
+# FUNCTION-granular staleness via git log -L): ops whose own def changed
+# after their last driver row lead (oldest evidence first — the r9 head
+# includes the reworked ext_kmeans_clusters/q22 and the r8-rewritten
+# dedup/ingest cohort), then ops whose FILE changed around an unchanged
+# def, then fresh ops by evidence age; driver-hidden ops sit at the tail
+# so the budget window is spent entirely on oracle-checkable rows
+# (scripts/driver_preflight.py asserts this).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ext_pdf_corpus", "ext_word2vec_contract", "ext_bpe_merges",
-    "ext_bpe_encode", "ext_text_stats", "q9_product_profit",
-    "q15_top_supplier", "q16_part_supplier_counts", "q21_waiting_suppliers",
-    "ext_quality_score", "ext_group_topk",
-    "ext_curation_pipeline", "ext_training_prep_pipeline",
-    "ext_dp_histogram", "ext_diversity_sample", "ext_semdedup_contract",
-    "ext_chunk_overlap", "ext_compact_files", "ext_decontaminate",
-    "ext_dedup_components", "ext_dedup_exact", "ext_dedup_incremental",
-    "ext_dedup_minhash", "ext_dedup_passage", "ext_dedup_resolve",
-    "ext_dedup_simhash", "ext_docs_to_chunks", "ext_entropy",
-    "ext_fingerprint", "ext_frame_sample", "ext_html_strip", "ext_lang_id",
-    "ext_latest_by_key", "ext_multimodal", "ext_ngram_freq",
-    "ext_pack_sequences", "ext_pii_redact", "ext_pmi_bigrams",
-    "ext_salted_join", "ext_tfidf", "ext_token_count", "merge_upsert",
-    "q10_returned_items", "q14_promo_revenue", "q17_small_quantity",
-    "q18_large_orders", "q19_disjunctive_filter", "q22_dormant_customers",
-    "q3_shipping_priority", "q4_late_shipments", "q5_local_supplier_volume",
-    "q7_volume_shipping", "q_histogram", "rule_clean_emails",
-    "rule_standardize_currency", "ext_inverted_index", "ext_similarity_topk",
-    "ingest_csv", "ingest_error", "ingest_excel", "ingest_json",
-    "ingest_orc", "ingest_pdf", "ingest_text", "nl_fallback", "nl_transform",
-    "preview", "q_agg", "q_array_funcs", "q_case_when", "q_cte",
-    "q_date_funcs", "q_distinct", "q_except", "q_filter", "q_groupby",
-    "q_intersect", "q_join_anti", "q_join_inner", "q_join_left",
-    "q_join_semi", "q_math_funcs", "q_project", "q_regex_filter", "q_rollup",
-    "q_str_funcs", "q_topk", "q_tumble", "q_union", "q_window_rank",
-    "read_bronze", "rule_remove_outliers", "rule_top_performers",
-    "serve_csv", "serve_json", "sql_exec", "stream_dedup", "stream_join",
-    "stream_sessionize", "stream_tumble", "vector_index", "vector_search",
-    "viz_bar", "write_bronze", "ext_corpus_stats", "ext_dedup_embedding",
-    "ext_domain_mix", "ext_kmeans_clusters", "ext_resize",
-    "ext_sample_stratified", "ext_scd2_history", "ext_train_val_split",
-    "ext_zorder_cluster", "q11_important_parts", "q12_priority_by_delay",
+    "ext_similarity_topk",
+    "ingest_csv",
+    "ingest_json",
+    "ingest_orc",
+    "ingest_text",
+    "preview",
+    "q_window_rank",
+    "rule_top_performers",
+    "stream_dedup",
+    "vector_index",
+    "ext_dedup_embedding",
+    "ext_domain_mix",
+    "ext_kmeans_clusters",
+    "ext_scd2_history",
+    "ext_zorder_cluster",
+    "q12_priority_by_delay",
     "q13_order_distribution",
+    "q2_min_cost_supplier",
+    "q_variant",
+    "stream_to_bronze",
+    "vector_search_batch",
+    "ext_data_profile",
+    "ext_histogram_rollup",
+    "ext_knn_graph_batch",
+    "ext_gopher_filters",
+    "ext_dp_mean",
+    "ext_k_anonymity_enforce",
+    "ext_topic_model",
+    "ext_semdedup_contract",
+    "q22_dormant_customers",
+    "q_histogram",
+    "rule_clean_emails",
+    "rule_standardize_currency",
+    "ext_inverted_index",
+    "ingest_error",
+    "ingest_excel",
+    "ingest_pdf",
+    "nl_fallback",
+    "nl_transform",
+    "q_agg",
+    "q_array_funcs",
+    "q_case_when",
+    "q_cte",
+    "q_date_funcs",
+    "q_distinct",
+    "q_except",
+    "q_filter",
+    "q_groupby",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_math_funcs",
+    "q_project",
+    "q_regex_filter",
+    "q_rollup",
+    "q_str_funcs",
+    "q_topk",
+    "q_tumble",
+    "q_union",
+    "read_bronze",
+    "rule_remove_outliers",
+    "serve_csv",
+    "serve_json",
+    "sql_exec",
+    "stream_join",
+    "stream_sessionize",
+    "stream_tumble",
+    "vector_search",
+    "viz_bar",
+    "write_bronze",
+    "ext_corpus_stats",
+    "ext_resize",
+    "ext_sample_stratified",
+    "ext_train_val_split",
+    "q11_important_parts",
     "q20_promotion_suppliers",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
-    "q_exists", "q_grouping_sets", "q_json_funcs", "q_lateral", "q_variant",
-    "stream_dedup_watermark", "stream_sliding", "stream_stream_join",
-    "stream_to_bronze", "vector_search_batch", "ext_bucketed_join",
-    "ext_cdc_changelog", "ext_data_profile", "ext_dedup_containment",
-    "ext_dedup_ngram", "ext_histogram_rollup", "ext_knn_graph",
-    "ext_knn_graph_batch", "ext_pseudonymize", "ext_rare_bigrams",
-    "ext_repetition", "ext_word2vec_train", "stream_upsert",
-    "ext_dedup_clusters_bounded", "ext_dedup_minhash_clusters",
-    "ext_gopher_filters", "ext_quality_classifier", "ext_ann_ivf",
-    "ext_ann_lsh", "ext_ann_pq", "ext_audio_dedup_fingerprint",
-    "ext_audio_features", "ext_bm25_search", "ext_contrastive_triplets",
-    "ext_decontaminate_embedding", "ext_dedup_components_star",
-    "ext_dedup_incremental_fuzzy", "ext_dedup_minhash_md5",
-    "ext_dedup_simhash_md5", "ext_dedup_substring", "ext_dp_mean",
-    "ext_embed_word2vec", "ext_heavy_hitters", "ext_hybrid_search",
-    "ext_image_dedup_ahash", "ext_k_anonymity", "ext_k_anonymity_enforce",
-    "ext_knn_graph_derived", "ext_pagerank",
-    "ext_resize_png", "ext_semdedup", "ext_similarity_topk_batch",
-    "ext_triangle_count", "ext_video_dedup_scenehash", "ext_video_frames",
-    "ext_vocab_coverage", "q1_pricing_summary", "ext_asof_join",
-    "ext_funnel", "ext_gap_fill", "ext_range_join", "ext_retention",
-    "ext_sessionize", "ext_partitioned_write", "ext_sample_fixed_n",
-    "ext_temperature_sample", "ext_upsample_repeat", "ingest_json_multiline",
-    "ingest_schema_evolution", "q_cube", "q_except_all", "q_intersect_all",
-    "q_join_cross", "q_join_full", "q_percentile", "q_pivot",
-    "q_recursive_cte", "q_string_agg", "q_unpivot", "q_window_agg",
-    "q_window_dist", "q_window_nav", "q_window_range", "ext_lm_perplexity",
-    "ext_lm_score_holdout", "ext_shard_assign", "ingest_xml", "ext_ann_int8",
-    "ext_drift_psi", "ext_embedding_quantize", "ext_expectations",
-    "ext_hll_rollup", "ext_partition_evolution", "ext_quantile_rollup",
-    "ext_skew_report", "ext_snapshot_expire", "ext_snapshot_versions",
-    "ext_time_travel_diff", "ext_topic_model", "ext_winsorize",
-    "q_approx_agg", "stream_dedup_fuzzy", "stream_quality_gate",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q_exists",
+    "q_grouping_sets",
+    "q_json_funcs",
+    "q_lateral",
+    "stream_dedup_watermark",
+    "stream_sliding",
+    "stream_stream_join",
+    "ext_bucketed_join",
+    "ext_cdc_changelog",
+    "ext_dedup_containment",
+    "ext_dedup_ngram",
+    "ext_knn_graph",
+    "ext_pseudonymize",
+    "ext_rare_bigrams",
+    "ext_repetition",
+    "stream_upsert",
+    "ext_dedup_clusters_bounded",
+    "ext_quality_classifier",
+    "ext_ann_ivf",
+    "ext_ann_lsh",
+    "ext_ann_pq",
+    "ext_audio_dedup_fingerprint",
+    "ext_audio_features",
+    "ext_bm25_search",
+    "ext_contrastive_triplets",
+    "ext_decontaminate_embedding",
+    "ext_dedup_components_star",
+    "ext_dedup_incremental_fuzzy",
+    "ext_dedup_minhash_md5",
+    "ext_dedup_simhash_md5",
+    "ext_dedup_substring",
+    "ext_embed_word2vec",
+    "ext_heavy_hitters",
+    "ext_hybrid_search",
+    "ext_image_dedup_ahash",
+    "ext_k_anonymity",
+    "ext_knn_graph_derived",
+    "ext_pagerank",
+    "ext_resize_png",
+    "ext_similarity_topk_batch",
+    "ext_triangle_count",
+    "ext_video_dedup_scenehash",
+    "ext_video_frames",
+    "ext_vocab_coverage",
+    "ext_diversity_sample",
+    "ext_salted_join",
+    "merge_upsert",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q3_shipping_priority",
+    "q4_late_shipments",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q1_pricing_summary",
+    "ext_asof_join",
+    "ext_funnel",
+    "ext_gap_fill",
+    "ext_range_join",
+    "ext_retention",
+    "ext_sessionize",
+    "ext_partitioned_write",
+    "ext_sample_fixed_n",
+    "ext_temperature_sample",
+    "ext_upsample_repeat",
+    "ingest_json_multiline",
+    "ingest_schema_evolution",
+    "q_cube",
+    "q_except_all",
+    "q_intersect_all",
+    "q_join_cross",
+    "q_join_full",
+    "q_percentile",
+    "q_pivot",
+    "q_recursive_cte",
+    "q_string_agg",
+    "q_unpivot",
+    "q_window_agg",
+    "q_window_dist",
+    "q_window_nav",
+    "q_window_range",
+    "ext_lm_perplexity",
+    "ext_lm_score_holdout",
+    "ext_shard_assign",
+    "ingest_xml",
+    "ext_ann_int8",
+    "ext_drift_psi",
+    "ext_embedding_quantize",
+    "ext_expectations",
+    "ext_hll_rollup",
+    "ext_partition_evolution",
+    "ext_quantile_rollup",
+    "ext_skew_report",
+    "ext_snapshot_expire",
+    "ext_snapshot_versions",
+    "ext_time_travel_diff",
+    "ext_winsorize",
+    "q_approx_agg",
+    "stream_dedup_fuzzy",
+    "stream_quality_gate",
     "stream_stream_join_outer",
+    "ext_bpe_encode",
+    "ext_bpe_merges",
+    "ext_chunk_overlap",
+    "ext_compact_files",
+    "ext_curation_pipeline",
+    "ext_decontaminate",
+    "ext_dedup_components",
+    "ext_dedup_exact",
+    "ext_dedup_incremental",
+    "ext_dedup_passage",
+    "ext_dedup_resolve",
+    "ext_docs_to_chunks",
+    "ext_dp_histogram",
+    "ext_entropy",
+    "ext_fingerprint",
+    "ext_frame_sample",
+    "ext_group_topk",
+    "ext_html_strip",
+    "ext_lang_id",
+    "ext_latest_by_key",
+    "ext_multimodal",
+    "ext_ngram_freq",
+    "ext_pack_sequences",
+    "ext_pdf_corpus",
+    "ext_pii_redact",
+    "ext_pmi_bigrams",
+    "ext_quality_score",
+    "ext_text_stats",
+    "ext_tfidf",
+    "ext_token_count",
+    "ext_training_prep_pipeline",
+    "ext_word2vec_contract",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q21_waiting_suppliers",
+    "q9_product_profit",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_word2vec_train",
+    "ext_dedup_minhash_clusters",
+    "ext_semdedup",
 )
-
 
 def _ordered_ops() -> dict[str, Op]:
     _ensure_loaded()

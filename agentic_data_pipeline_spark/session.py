@@ -30,14 +30,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Runtime semi-join reduction: inject a bloom filter from a selective
-    # join side into the other side's scan/shuffle (off by default in
-    # OSS). Measured r9 on the watch set, interleaved fresh-write A/B:
-    # sf10 20.43 -> 19.48 s, sf0.1 4.86 -> 4.48 s, rows identical; and
-    # the reduction VALUE grows with fact size (at 100 TB, pruning the
-    # orders shuffle by the part-filtered lineitem keys is a first-order
-    # win), so scale-first says on.
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Runtime bloom-filter semi-join reduction is SCALE-GATED: explicitly
+    # OFF here (Spark 4 defaults it ON — the engine ran 8 rounds with it
+    # silently on) and ratcheted back on by apply_scaled_shuffle() past
+    # BLOOM_MIN_FACT_ROWS. Measured r9: ON wins isolated per-query
+    # fresh-write A/Bs at every tier (sf0.1 watch-8 4.86->4.48 s, sf10
+    # 20.43->19.48 s, rows identical), but at sf0.1 SET-level the extra
+    # build-side aggregate per eligible join across 40 queries x 5 passes
+    # is pure session pressure (the r8 GC-coupling pattern): interleaved
+    # same-day invocations gave OFF {1.39,1.47,1.55,1.83} vs ON
+    # {1.60,1.65,1.72,1.86,1.93,2.11,2.16,2.27} paired ratios. Fixed
+    # optimizer overhead has to follow data volume, exactly like
+    # shuffle-partition count.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
     # pandas/Arrow interchange for vectorized UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -56,11 +61,16 @@ def tune(spark: SparkSession) -> SparkSession:
     left untouched.
     """
     for k, v in RUNTIME_CONFS.items():
-        if (k == "spark.sql.optimizer.runtime.bloomFilter.enabled"
-                and os.environ.get("SPARK_GRAFT_NO_BLOOM")):
-            v = "false"  # diagnostic escape hatch for bench attribution
         try:
             spark.conf.set(k, v)
+        except Exception:
+            pass
+    if os.environ.get("SPARK_GRAFT_NO_BLOOM"):
+        # diagnostic escape hatch: Spark 4 defaults the runtime bloom
+        # filter ON, so "off" must be set explicitly
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         except Exception:
             pass
     try:
@@ -101,11 +111,33 @@ def scaled_shuffle_partitions(est_rows: int) -> int:
                int(est_rows) // SHUFFLE_ROWS_PER_PARTITION)
 
 
+# Fact-row count past which the runtime bloom-filter semi-join reduction
+# pays for its build-side aggregate (r9 three-tier measurement — see the
+# RUNTIME_CONFS note): sf3's 18M-row lake is the smallest tier where the
+# set-level paired ratio improved (0.73 -> 0.54); sf1's 6M was neutral and
+# sf0.1's 600k regressed. At 100 TB this is always on.
+BLOOM_MIN_FACT_ROWS = 10_000_000
+
+
 def apply_scaled_shuffle(spark: SparkSession, est_rows: int) -> int:
     """Set spark.sql.shuffle.partitions by the scaled rule; returns the
-    value applied."""
+    value applied. Also flips the volume-gated optimizer features
+    (runtime bloom-filter join reduction) on/off for the scale the caller
+    declared — same principle as the partition count: fixed optimizer
+    overhead must follow data volume."""
     parts = scaled_shuffle_partitions(est_rows)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # RATCHET, not a toggle: a big-data declaration (tier bench's fact
+    # count, a heavy op's corpus size) turns bloom on for the session; a
+    # later small-n op-local call must not flip it back off under the
+    # tier's other queries.
+    if (est_rows >= BLOOM_MIN_FACT_ROWS
+            and not os.environ.get("SPARK_GRAFT_NO_BLOOM")):
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        except Exception:
+            pass
     return parts
 
 

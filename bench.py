@@ -114,12 +114,11 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r9a"  # r9: q22 anti join broadcast -> shuffle-hash (in the
-                    # v2 set at every tier) — a measured plan change, so
-                    # r8b invocations are a different population. (The r9
-                    # pmod sample fix changes no bench tier: every tier's
-                    # embedding count sits under the 262,144 sample
-                    # threshold.)
+PERF_EPOCH = "r9b"  # r9 late: runtime bloom filter scale-gated OFF below
+                    # 10M fact rows (Spark 4 had it silently ON all prior
+                    # rounds; sf0.1/sf1 populations change) after the
+                    # interleaved set-level A/B. r9a (q22 shuffle-hash
+                    # rework, mixed-conf attribution runs) superseded.
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
