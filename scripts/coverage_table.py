@@ -111,15 +111,17 @@ SECTIONS = [
 ]
 
 
-def _driver_evidence() -> dict[str, str]:
+def _driver_evidence(repo: str | None = None) -> dict[str, str]:
     """op_id → accumulated CORRECTNESS_r{N}.json signal. The LATEST round's
     status always shows: an op that passed in r1 but errored in r3 renders
     'pass (r1), ERROR (r3)', never a bare green (r3-advisor finding — an
-    earlier-round pass must not mask a regression)."""
+    earlier-round pass must not mask a regression). `repo` overrides the
+    artifact directory (tests inject synthetic late-landing files)."""
     import glob
     import json
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hist: dict[str, list[tuple[str, str]]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
@@ -147,16 +149,17 @@ def _driver_evidence() -> dict[str, str]:
     return out
 
 
-def render() -> str:
+def render(artifact_repo: str | None = None) -> str:
     """Build the full COVERAGE.md content. tests/test_coverage_doc.py pins
     the committed file to EXACTLY this output (r7 verdict item 7: the
     driver-evidence column regenerates from the CORRECTNESS union on every
-    test run, so it can never drift from the artifacts again)."""
+    test run, so it can never drift from the artifacts again).
+    `artifact_repo` overrides where CORRECTNESS_r*.json are read from."""
     _ensure_loaded()
     listed = [o for _, ops in SECTIONS for o in ops]
     missing = sorted(set(OPS) - set(listed))
     assert not missing, f"ops not in any section: {missing}"
-    evidence = _driver_evidence()
+    evidence = _driver_evidence(artifact_repo)
     lines = [
         "# COVERAGE — operator inventory vs SURVEY.md §2",
         "",
@@ -202,11 +205,16 @@ def render() -> str:
             lines.append(f"| `{op_id}` | {mode} | {ev} | {anchor(op.fn)} "
                          f"| {doc} |")
         lines.append("")
+    # queued counts LIVE registry ops lacking evidence — never computed as
+    # len(OPS) - len(evidence): the accumulated CORRECTNESS union keeps
+    # rows for RETIRED ops (e.g. ext_kmeans_contract, folded in r9), which
+    # made the difference go negative (r9 verdict item 1).
+    queued = sum(1 for op_id in OPS if op_id not in evidence)
     lines.append(
         f"**Totals: {len(OPS)} ops; {total_oracle} oracle-checked, "
         f"{len(OPS) - total_oracle} rows-only (twin-verified); driver "
         f"evidence: {n_pass} hash-pass accumulated, "
-        f"{len(OPS) - len(evidence)} queued for the next driver round.**")
+        f"{queued} queued for the next driver round.**")
     return "\n".join(lines) + "\n"
 
 
@@ -228,7 +236,9 @@ def evidence_invariant(text: str) -> str:
                 cells[2] = "<evidence>"
                 line = " | ".join(cells)
         elif line.startswith("**Totals:"):
-            line = re.sub(r"\d+ hash-pass accumulated, \d+ queued",
+            # sign-tolerant: a buggy historical render wrote "-1 queued"
+            # and the un-matchable negative kept the pin red (r9 item 1)
+            line = re.sub(r"-?\d+ hash-pass accumulated, -?\d+ queued",
                           "<evidence>", line)
         out.append(line)
     return "\n".join(out)

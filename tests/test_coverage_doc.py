@@ -46,6 +46,46 @@ def test_coverage_md_matches_generator_exactly():
         f"`python scripts/coverage_table.py` and commit. Diff:\n{diff[:4000]}")
 
 
+def test_late_landing_evidence_with_retired_op_never_reds_the_pin(tmp_path):
+    """Regression for the r8/r9 two-round red streak: a CORRECTNESS file
+    landing AFTER close-out that contains (a) a RETIRED op key (kept in
+    the union forever — e.g. ext_kmeans_contract, folded in r9) and (b) a
+    fresh pass for a live op must still be auto-blessed by
+    evidence_invariant. The old code computed queued as
+    len(OPS) - len(evidence) (goes NEGATIVE with retired keys) and the
+    blanking regex couldn't match '-1 queued', so the Totals line tripped
+    the pin two rounds running."""
+    import json
+    import shutil
+
+    _ensure_loaded()
+    mod = _coverage_module()
+    # stage the real artifacts plus a synthetic late-landing round whose
+    # keys include enough retired ops to push len(evidence) past len(OPS)
+    for name in os.listdir(REPO):
+        if name.startswith("CORRECTNESS_r") and name.endswith(".json"):
+            shutil.copy(os.path.join(REPO, name), tmp_path / name)
+    live = next(iter(OPS))
+    synthetic = {live: {"hash_match": True},
+                 "ext_retired_twin_a": {"hash_match": True},
+                 "ext_retired_twin_b": {"hash_match": True},
+                 "ext_retired_twin_c": {"hash_match": True}}
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(synthetic))
+    before = mod.render()
+    after = mod.render(artifact_repo=str(tmp_path))
+    # queued must count live registry ops lacking evidence — never negative
+    assert "-" not in after.split("hash-pass accumulated,")[1].split(
+        "queued")[0], f"negative queued count rendered: {after[-200:]}"
+    # and the pin's projection must treat the drift as evidence-only
+    assert mod.evidence_invariant(before) == mod.evidence_invariant(after)
+    # sign-tolerance: even a historical bad render with '-1 queued' must
+    # be blanked by the invariant, not compared verbatim
+    bad = before.replace(
+        before.split("hash-pass accumulated, ")[1].split(" queued")[0]
+        + " queued", "-1 queued", 1)
+    assert mod.evidence_invariant(bad) == mod.evidence_invariant(before)
+
+
 def test_coverage_md_lists_every_op():
     _ensure_loaded()
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
