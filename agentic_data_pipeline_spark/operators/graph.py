@@ -43,69 +43,90 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
     the sf0.1 bench-variance source): ``checkpoint_every`` cuts every Nth
     round instead of every round (the uncut rounds' plans double once —
     each round reads the prior state twice — so keep it small);
-    ``reliable_dir`` switches to disk-backed ``df.checkpoint()`` (sets the
-    checkpoint dir, no executor-memory blocks, GC-quiet). Ranks are
-    bit-identical across all variants (same arithmetic, same plans modulo
-    the cut); scripts/probe_pagerank_checkpoint.py is the measured A/B.
+    ``reliable_dir`` switches to disk-backed ``df.checkpoint()`` (no
+    executor-memory blocks, GC-quiet). Ranks are bit-identical across all
+    variants (same arithmetic, same plans modulo the cut);
+    scripts/probe_pagerank_checkpoint.py is the measured A/B.
+
+    ``reliable_dir`` contract (r9 advisor): the SparkContext checkpoint
+    dir is global, so it is repointed only for the duration of this call
+    and restored before returning when one was previously set (the public
+    API cannot unset it; checkpoints are eager, so every file is written
+    inside the call). The CALLER owns ``reliable_dir``'s
+    lifecycle — delete it after consuming the returned ranks; this
+    function cannot, because the returned DataFrame reads from those
+    files.
     """
     from pyspark.sql import Window
 
+    sc = vertices.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if reliable_dir is not None:
-        vertices.sparkSession.sparkContext.setCheckpointDir(reliable_dir)
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(reliable_dir)
+
+    def cut0(df: DataFrame) -> DataFrame:
+        """Lineage cut for the loop-invariant init state — same backing
+        (disk vs executor blocks) as the per-round cuts."""
+        return (df.checkpoint() if reliable_dir is not None
+                else df.localCheckpoint())
 
     def cut(df: DataFrame, rnd: int) -> DataFrame:
         if (rnd + 1) % max(1, checkpoint_every) != 0:
             return df
-        return (df.checkpoint() if reliable_dir is not None
-                else df.localCheckpoint())
+        return cut0(df)
 
-    n = vertices.count()
-    # Out-degree weights via a window over src: ONE pass over the edge
-    # subtree and one shuffle. The previous self-join form
-    # (edges ⋈ edges.groupBy(src).count) evaluated the edge subtree —
-    # here the full BLAS kNN construction — TWICE and paid an extra join
-    # (same recompute class as the r6 connected-components fix;
-    # interleaved A/B at sf0.1: 3.61 s → 3.16 s, ranks bit-identical).
-    w_edges = (edges.select(
-        "src", "dst",
-        (1.0 / F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .alias("w"))
-        .localCheckpoint())
-    has_out = w_edges.select("src").distinct()
-    # Dangling-ness is a property of the GRAPH, not the iteration: resolve
-    # it once into a boolean carried on the rank state, so each round's
-    # dangling mass is a filter+agg over the checkpointed state instead of
-    # a fresh anti-join (one join per iteration saved — measured ~20% off
-    # the 10-round sf0.1 wall time), and the update joins the prior state
-    # rather than rescanning the vertex table.
-    ranks = (vertices
-             .join(has_out.select(C("src").alias("id"),
-                                  F.lit(True).alias("__has")), "id", "left")
-             .select("id", F.lit(1.0 / n).alias("rank"),
-                     F.coalesce(C("__has"), F.lit(False)).alias("has_out"))
-             .localCheckpoint())
-    for _it in range(iters):
-        dang = (ranks.filter(~C("has_out"))
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
-        contribs = (w_edges.join(ranks.select("id", "rank"),
-                                 C("src") == C("id"))
-                    .groupBy("dst")
-                    .agg(F.sum(C("rank") * C("w")).alias("contrib")))
-        # base = (1-d)/n + d*dang/n, evaluated in the same left-to-right
-        # double arithmetic as the oracle's recursive step.
-        base = (F.lit((1.0 - damping) / n)
-                + F.lit(damping) * C("__dang") / F.lit(float(n)))
-        ranks = (ranks.select("id", "has_out")
-                 .join(contribs, C("id") == C("dst"), "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("id",
-                         (base
-                          + F.lit(damping) * F.coalesce(C("contrib"),
-                                                        F.lit(0.0)))
-                         .alias("rank"),
-                         "has_out"))
-        ranks = cut(ranks, _it)
-    return ranks.select("id", "rank")
+    try:
+        n = vertices.count()
+        # Out-degree weights via a window over src: ONE pass over the edge
+        # subtree and one shuffle. The previous self-join form
+        # (edges ⋈ edges.groupBy(src).count) evaluated the edge subtree —
+        # here the full BLAS kNN construction — TWICE and paid an extra join
+        # (same recompute class as the r6 connected-components fix;
+        # interleaved A/B at sf0.1: 3.61 s → 3.16 s, ranks bit-identical).
+        w_edges = cut0(edges.select(
+            "src", "dst",
+            (1.0 / F.count(F.lit(1)).over(Window.partitionBy("src")))
+            .alias("w")))
+        has_out = w_edges.select("src").distinct()
+        # Dangling-ness is a property of the GRAPH, not the iteration: resolve
+        # it once into a boolean carried on the rank state, so each round's
+        # dangling mass is a filter+agg over the checkpointed state instead of
+        # a fresh anti-join (one join per iteration saved — measured ~20% off
+        # the 10-round sf0.1 wall time), and the update joins the prior state
+        # rather than rescanning the vertex table.
+        ranks = cut0(vertices
+                     .join(has_out.select(C("src").alias("id"),
+                                          F.lit(True).alias("__has")),
+                           "id", "left")
+                     .select("id", F.lit(1.0 / n).alias("rank"),
+                             F.coalesce(C("__has"), F.lit(False))
+                             .alias("has_out")))
+        for _it in range(iters):
+            dang = (ranks.filter(~C("has_out"))
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
+            contribs = (w_edges.join(ranks.select("id", "rank"),
+                                     C("src") == C("id"))
+                        .groupBy("dst")
+                        .agg(F.sum(C("rank") * C("w")).alias("contrib")))
+            # base = (1-d)/n + d*dang/n, evaluated in the same left-to-right
+            # double arithmetic as the oracle's recursive step.
+            base = (F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * C("__dang") / F.lit(float(n)))
+            ranks = (ranks.select("id", "has_out")
+                     .join(contribs, C("id") == C("dst"), "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("id",
+                             (base
+                              + F.lit(damping) * F.coalesce(C("contrib"),
+                                                            F.lit(0.0)))
+                             .alias("rank"),
+                             "has_out"))
+            ranks = cut(ranks, _it)
+        return ranks.select("id", "rank")
+    finally:
+        if reliable_dir is not None and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
 
 
 # The oracle replays the SAME fixed-count power iteration as a bounded
@@ -196,7 +217,7 @@ def triangle_count(edges: DataFrame, salt_threshold: int | None = None,
     wedges on ONE apex join key, i.e. one task. With ``salt_threshold``
     set, apexes whose OUT-degree exceeds it have their wedge generation
     split over ``salt_buckets`` join keys: leg2 rows bucket by
-    xxhash64(b) % S, leg1 rows replicate to all S buckets, the join key
+    pmod(xxhash64(b), S), leg1 rows replicate to all S buckets, the join key
     becomes (a, bucket) — every (b1, b2) pair is produced exactly once
     (in b2's bucket), so totals are hash-identical while the max per-key
     candidate volume drops from out_deg² to out_deg²/S (probe:

@@ -47,6 +47,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Ratchet state for the volume-gated bloom filter (r9-advisor finding: tune()
+# runs inside catalog.load_table() on EVERY table read, so re-applying the
+# RUNTIME_CONFS "false" pin silently undid apply_scaled_shuffle()'s ratchet on
+# the very next op — including every timed tier-bench pass). Once a caller
+# declares big data, tune() must stop pinning bloom off for the process
+# lifetime; sessions are per-process here and a cluster deploy sets its own.
+_BLOOM_RATCHETED = False
+
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-owned or ours).
@@ -61,6 +69,9 @@ def tune(spark: SparkSession) -> SparkSession:
     left untouched.
     """
     for k, v in RUNTIME_CONFS.items():
+        if (_BLOOM_RATCHETED
+                and k == "spark.sql.optimizer.runtime.bloomFilter.enabled"):
+            continue  # a big-data declaration outlives later tune() calls
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -133,9 +144,11 @@ def apply_scaled_shuffle(spark: SparkSession, est_rows: int) -> int:
     # tier's other queries.
     if (est_rows >= BLOOM_MIN_FACT_ROWS
             and not os.environ.get("SPARK_GRAFT_NO_BLOOM")):
+        global _BLOOM_RATCHETED
         try:
             spark.conf.set(
                 "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            _BLOOM_RATCHETED = True  # tune() must not pin it back off
         except Exception:
             pass
     return parts

@@ -88,8 +88,11 @@ def func_change_ts(sites: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
     back to file granularity for that op."""
     out = {}
     for f, fn in sorted(sites):
+        # Anchor to the exact def line: a bare name is a substring regex
+        # over funcname lines, so e.g. ext_dedup_components resolved to
+        # ext_dedup_components_star and tracked the wrong body (r9 advisor).
         r = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", f"-L:{fn}:{f}"],
+            ["git", "log", "-1", "--format=%ct", f"-L:def {fn}(:{f}"],
             cwd=REPO, capture_output=True, text=True)
         first = r.stdout.splitlines()[0].strip() if r.stdout else ""
         out[(f, fn)] = int(first) if first.isdigit() else 0
