@@ -486,6 +486,16 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes than the string spec, with the strings joined back on only the
     final ~10³ groups. Measured sf3: 3.28 s → 2.67 s over the string-key
     aggregate (BASELINE.md round-8).
+
+    The spec map is PINNED (localCheckpoint, ~10³ rows): it feeds TWO
+    broadcasts (the partkey→spec_id map and the final strings join-back)
+    and Spark does not reuse the distinct+window subtree across them, so
+    the unpinned form scanned part and ran the dim aggregate twice per
+    execution — 0.4 s × 2 at sf10's 2M-part dim. r10 interleaved A/B,
+    prepared-plan timing, hash-identical rows: sf1 1.11→0.99 s, sf10
+    2.47→2.01 s. The r8 'fold into one string-keyed agg' idea was also
+    measured at sf10: 2.24 s — beats the unpinned double-eval, loses to
+    the pin, and gives up the narrow-key shuffle that matters at 100 TB.
     """
     part = (load_table(spark, sf_dir, "part")
             .filter((C("p_brand") != "Brand#1")
@@ -494,7 +504,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "p_brand", "p_type", "p_size"))
     specs = (part.select("p_brand", "p_type", "p_size").distinct()
              .withColumn("spec_id", F.row_number().over(
-                 Window.orderBy("p_brand", "p_type", "p_size"))))
+                 Window.orderBy("p_brand", "p_type", "p_size")))
+             .localCheckpoint())
     part_id = (part.join(F.broadcast(specs),
                          ["p_brand", "p_type", "p_size"])
                .select("p_partkey", "spec_id"))
