@@ -868,36 +868,21 @@ def ext_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- embedding training
 
 
-@op("ext_word2vec_train", driver_visible=False)  # rows-only by design:
-# learned float vectors have no SQL twin. Driver verification runs
-# through the hash-green ext_word2vec_contract below (same fit; vocab
-# construction + dim + norm invariants oracle-checked); pytest pins
-# vocabulary construction, dimensionality, and deterministic re-fit.
-def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train word embeddings over the corpus (MLlib Word2Vec, skip-gram):
-    the upstream producer of every embedding-consuming op in the surface
-    (vector_search / ANN / semdedup run on vectors SOMETHING trained —
-    this op is that something, distributed).
+def word2vec_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rich word2vec artifact — vocabulary vector table
+    (word, dim, l2 norm): the model sidecar a pipeline broadcasts into
+    encode passes. Library function since r10; the REGISTERED op
+    (ext_word2vec_train) emits the invariant fold instead (the
+    kmeans-fold pattern, r9). pytest pins vocabulary construction and
+    deterministic re-fit on this function.
 
     Determinism: seed fixed and numPartitions=1 → bit-stable re-fit
     (pytest-verified). At scale numPartitions=N trains hogwild-style —
-    faster, non-deterministic; the standard trade, documented rather than
-    hidden. Output is the vocabulary vector table (word, l2 norm): the
-    model artifact a pipeline broadcasts into encode passes.
-
-    Rows-only by design (learned floats); driver verification runs
-    through the hash-green twin ext_word2vec_contract (same fit; vocab,
-    dim, and norm invariants oracle-checked).
-    """
-    from pyspark.ml.feature import Word2Vec
+    faster, non-deterministic; the standard trade, documented rather
+    than hidden."""
     from pyspark.ml.functions import vector_to_array
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(F.split(
-        F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z]+", " ")),
-        " ").alias("words"))
-    model = Word2Vec(vectorSize=32, minCount=5, seed=42, numPartitions=1,
-                     maxIter=2, inputCol="words", outputCol="v").fit(words)
+    model = _word2vec_fit(spark, sf_dir)
     arr = vector_to_array(C("vector"))
     return (model.getVectors()
             .select("word",
@@ -907,7 +892,23 @@ def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(0.0), lambda a, x: a + x)), 6).alias("l2")))
 
 
-@op("ext_word2vec_contract", oracle=r"""
+def _word2vec_fit(spark: SparkSession, sf_dir: str):
+    """One shared fit for the op and the library artifact (MLlib
+    Word2Vec, skip-gram): the upstream producer of every
+    embedding-consuming op in the surface (vector_search / ANN /
+    semdedup run on vectors SOMETHING trained — this is that something,
+    distributed)."""
+    from pyspark.ml.feature import Word2Vec
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z]+", " ")),
+        " ").alias("words"))
+    return Word2Vec(vectorSize=32, minCount=5, seed=42, numPartitions=1,
+                    maxIter=2, inputCol="words", outputCol="v").fit(words)
+
+
+@op("ext_word2vec_train", oracle=r"""
     WITH v AS (
         SELECT w
         FROM (SELECT unnest(string_split(trim(regexp_replace(
@@ -922,10 +923,12 @@ def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS norms_ok
     FROM v
 """)
-def ext_word2vec_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-hashed contract for ext_word2vec_train (the kmeans-contract
-    design, r7 verdict item 4): runs the SAME MLlib Word2Vec fit and folds
-    it into one bound-checked row.
+def ext_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train word embeddings over the corpus (MLlib Word2Vec, skip-gram)
+    with the verification contract FOLDED into the op output (r9 verdict
+    item 8 — this retired the separate ext_word2vec_contract twin, whose
+    oracle and fold this op inherited verbatim; the twin was hash-green
+    since r8): one bound-checked row over the SAME fit.
 
     Cross-engine-exact field: n_vocab — MLlib's vocabulary is exactly the
     tokens with corpus count ≥ minCount(5) under the op's normalization,
@@ -936,21 +939,24 @@ def ext_word2vec_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected set, both directions, via null-counting full outer join);
     dims_ok (every learned vector has exactly vectorSize=32 components);
     norms_ok (every vector norm is finite and > 0 — a collapsed or NaN
-    fit fails here)."""
-    from pyspark.ml.feature import Word2Vec
+    fit fails here).
+
+    The rich artifact (per-word vectors/norms — learned floats with no
+    SQL twin) stays available as the word2vec_vectors() library
+    function, still pytest-pinned for vocabulary and re-fit
+    determinism."""
     from pyspark.ml.functions import vector_to_array
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split(
-        F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z]+", " ")),
-        " ").alias("words"))
-    model = Word2Vec(vectorSize=32, minCount=5, seed=42, numPartitions=1,
-                     maxIter=2, inputCol="words", outputCol="v").fit(toks)
+    model = _word2vec_fit(spark, sf_dir)
     arr = vector_to_array(C("vector"))
     norm2 = F.aggregate(F.transform(arr, lambda x: x * x),
                         F.lit(0.0), lambda a, x: a + x)
     vecs = model.getVectors().select(
         "word", F.size(arr).alias("__d"), norm2.alias("__n2"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(
+        F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z]+", " ")),
+        " ").alias("words"))
     expected = (toks.select(F.explode(C("words")).alias("word"))
                 .groupBy("word").agg(F.count(F.lit(1)).alias("__c"))
                 .filter(C("__c") >= 5).select("word"))

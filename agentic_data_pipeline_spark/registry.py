@@ -288,7 +288,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_tfidf",
     "ext_token_count",
     "ext_training_prep_pipeline",
-    "ext_word2vec_contract",
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q21_waiting_suppliers",

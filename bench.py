@@ -30,17 +30,20 @@ BASELINE.md):
   run array with its wall-clock start offset, and the paired DuckDB-twin
   run from the SAME invocation with the Spark/DuckDB ratio over the
   oracle-covered queries. Each invocation appends to BENCH_HISTORY.jsonl.
-- Headline-of-record (r4 advice item 10, refined): the top-level
-  `value`/`ratio_of_record` are the MEDIAN-ratio recorded invocation at
-  the same SF and query-set version (including this one). Each
-  invocation's ratio is already load-controlled by construction (Spark
-  and the DuckDB twin run paired in the same invocation), so the median
-  over invocations — not any single row, and not the minimum-load row,
-  which selection-on-noise can make an outlier in either direction
-  (observed live: a load-1.6 invocation at ratio 2.16 vs a load-1.8 one
-  at 1.78) — is the number of record. `value_live`/`ratio_live` carry
-  this invocation verbatim; the min-load pair stays in the history
-  summary for transparency.
+- Headline-of-record (r4 advice item 10; re-based in r10 per r9 verdict
+  item 6): the top-level `value`/`ratio_of_record` are the MIN-MERGED
+  PER-QUERY FLOOR over same-perf-epoch invocations at the same SF and
+  query-set version (including this one): per-query Spark minima across
+  same-epoch rows (same engine code, each already best-of-3) over
+  per-query DuckDB-twin minima across the whole set_version (oracle SQL
+  is engine-code-independent). Rationale: at the sub-second sf0.1 tier,
+  host-level contention invisible to in-container pressure metrics
+  inflated Spark totals 20.4→35.5 s across six same-code r9 invocations
+  while the paired twin held ~10-11 s — any single invocation's ratio
+  (and the median of a few) is a contention lottery; the floor is the
+  comparison that survives it. `value_live`/`ratio_live` carry this
+  invocation verbatim; the raw invocation band (`ratio_band`), the
+  median, and the min-load pair stay in the history summary.
 - Query-set v2 (r4 item 5): the classic 15 (r1-r4 lineage, reported
   separately as classic15_* for round-over-round comparability) + the
   remaining 20 TPC-H shapes + the heavy iterative ext ops (PageRank,
@@ -114,11 +117,12 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r9b"  # r9 late: runtime bloom filter scale-gated OFF below
-                    # 10M fact rows (Spark 4 had it silently ON all prior
-                    # rounds; sf0.1/sf1 populations change) after the
-                    # interleaved set-level A/B. r9a (q22 shuffle-hash
-                    # rework, mixed-conf attribution runs) superseded.
+PERF_EPOCH = "r10"  # r10: the bloom ratchet is genuinely effective for
+                    # the first time (tune() used to un-ratchet it on
+                    # every load_table, so r9b's >=10M-row tier benches
+                    # actually ran bloom-OFF), and q16's spec map is
+                    # pinned (dim subtree no longer evaluated twice).
+                    # Supersedes r9b.
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
@@ -238,22 +242,36 @@ def main() -> None:
     # take dozens of invocations to flush out of the median), else the
     # all-history median; both are reported.
     hist = artifact["history_same_sf"] or {}
+    # Of-record since r10 (r9 verdict item 6): the min-merged per-query
+    # FLOOR over same-epoch invocations, not any single invocation — at
+    # the sub-second tier a single run's ratio (and the median of a few)
+    # is a host-contention lottery the floor survives. Falls back to the
+    # old median-invocation logic until the epoch has a floor (first run
+    # of a new epoch IS the floor, so this is nearly always set).
     rec, window = None, "none"
-    if hist.get("n_epoch_invocations", 0) >= 3:
-        rec, window = hist.get("epoch_median_invocation"), "perf_epoch"
-    if rec is None and hist.get("median_invocation"):
-        rec, window = hist["median_invocation"], "all_history"
-    artifact["value"] = rec["value"] if rec else total
-    artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"]
-                                   if rec else ratio)
+    if hist.get("ratio_floor_epoch") is not None:
+        artifact["value"] = hist["value_floor_epoch"]
+        artifact["ratio_of_record"] = hist["ratio_floor_epoch"]
+        window = f"epoch_floor(n={hist.get('n_epoch_invocations')})"
+    else:
+        if hist.get("n_epoch_invocations", 0) >= 3:
+            rec, window = hist.get("epoch_median_invocation"), "perf_epoch"
+        if rec is None and hist.get("median_invocation"):
+            rec, window = hist["median_invocation"], "all_history"
+        artifact["value"] = rec["value"] if rec else total
+        artifact["ratio_of_record"] = (rec["spark_over_duckdb_ratio"]
+                                       if rec else ratio)
     # Provenance, embedded in the artifact itself (not just this
-    # docstring): `value`/`ratio_of_record` are the median-ratio RECORDED
-    # invocation over the chosen window — a number some real invocation
-    # measured, which may not be THIS one. This invocation's own
-    # measurements are value_live/ratio_live/queries/runs_sec.
+    # docstring): `value`/`ratio_of_record` are the same-epoch per-query
+    # floor (or, fallback, the median-ratio RECORDED invocation) — which
+    # may not equal THIS run. This invocation's own measurements are
+    # value_live/ratio_live/queries/runs_sec; the raw invocation band
+    # stays in history_same_sf.ratio_band.
     artifact["of_record_provenance"] = {
-        "source": "BENCH_HISTORY.jsonl upper-median-ratio invocation "
-                  "(same sf + set_version, incl. this run)",
+        "source": "BENCH_HISTORY.jsonl min-merged per-query floor over "
+                  "same-perf-epoch invocations (same sf + set_version, "
+                  "incl. this run); duck minima merge across the whole "
+                  "set_version",
         "window": window,
         "invocation_unix": (rec or {}).get("invocation_unix",
                                            artifact["invocation_unix"]),
@@ -290,7 +308,8 @@ def compact_line(artifact: dict, detail: str | None) -> dict:
     return out
 
 
-def _record_history(artifact: dict) -> dict | None:
+def _record_history(artifact: dict, hist_path: str | None = None
+                    ) -> dict | None:
     """Append this paired invocation to BENCH_HISTORY.jsonl (committed with
     the repo) and return a summary of ALL recorded same-SF same-set
     invocations — median/band of the paired ratio plus the min-load pair —
@@ -300,8 +319,10 @@ def _record_history(artifact: dict) -> dict | None:
     the median over invocations is the number of record. Never breaks the
     contract: best-effort IO."""
     try:
-        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_HISTORY.jsonl")
+        if hist_path is None:
+            hist_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_HISTORY.jsonl")
         entry = {k: artifact[k] for k in (
             "sf", "set_version", "invocation_unix", "load_avg",
             "duckdb_twin_total_sec", "spark_over_duckdb_ratio")}
@@ -355,6 +376,33 @@ def _record_history(artifact: dict) -> dict | None:
             e_mid = len(e_ratios) // 2
             out["ratio_median_epoch"] = e_ratios[e_mid]
             out["epoch_median_invocation"] = epoch[e_mid]
+        # Min-merged per-query floor (r9 verdict item 6, promoted to the
+        # of-record metric in r10): per-query Spark minima across
+        # SAME-EPOCH invocations (same engine code; each row is already
+        # best-of-3 in-invocation) over per-query DuckDB minima across
+        # ALL same-set invocations (the twin runs set_version-pinned
+        # oracle SQL — engine-code-independent). This is the comparison
+        # that survives host-level contention invisible to in-container
+        # pressure metrics: in r9, six same-code invocations degraded
+        # 20.4→35.5 s Spark-side while the paired twin held ~10-11 s,
+        # making single-invocation (and hence median-of-few) ratios at
+        # the sub-second sf0.1 tier mostly a contention lottery.
+        spark_min: dict[str, float] = {}
+        for e in epoch:
+            for k, v in (e.get("queries") or {}).items():
+                spark_min[k] = min(spark_min.get(k, v), v)
+        duck_min: dict[str, float] = {}
+        for e in same:
+            for k, v in (e.get("duckdb_twin_sec") or {}).items():
+                duck_min[k] = min(duck_min.get(k, v), v)
+        cov = [k for k in spark_min if k in duck_min]
+        if cov and spark_min:
+            s_cov = sum(spark_min[k] for k in cov)
+            d_cov = sum(duck_min[k] for k in cov)
+            out["ratio_floor_epoch"] = round(s_cov / d_cov, 3)
+            out["floor_spark_cov_sec"] = round(s_cov, 3)
+            out["floor_duck_cov_sec"] = round(d_cov, 3)
+            out["value_floor_epoch"] = round(sum(spark_min.values()), 3)
         return out
     except Exception:  # noqa: BLE001
         return None

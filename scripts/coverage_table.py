@@ -81,7 +81,7 @@ SECTIONS = [
         "ext_semdedup", "ext_knn_graph", "ext_dedup_containment",
         "ext_pagerank", "ext_data_profile", "ext_bucketed_join",
         "ext_sample_fixed_n", "ext_knn_graph_batch", "ext_word2vec_train",
-        "ext_word2vec_contract", "ext_embed_word2vec",
+        "ext_embed_word2vec",
         "ext_cdc_changelog", "ext_pseudonymize", "ext_partitioned_write",
         "ext_snapshot_versions", "ext_time_travel_diff",
         "ext_snapshot_expire",

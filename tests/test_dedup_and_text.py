@@ -320,15 +320,18 @@ def test_similarity_topk_batch_matches_jvm_path(spark):
 
 def test_word2vec_train_vocab_and_determinism(spark, sf_dir):
     """Vocabulary must be exactly the words with corpus freq >= minCount;
-    re-fit with the same seed/partitioning must be bit-stable."""
+    re-fit with the same seed/partitioning must be bit-stable. Pins the
+    word2vec_vectors() library artifact (the registered op emits the
+    folded contract row since r10 — checked at the end)."""
     from collections import Counter
 
     from agentic_data_pipeline_spark.catalog import load_table
+    from agentic_data_pipeline_spark.operators.text import word2vec_vectors
     from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
 
     _ensure_loaded()
     out1 = {r["word"]: r["l2"]
-            for r in OPS["ext_word2vec_train"].fn(spark, sf_dir).collect()}
+            for r in word2vec_vectors(spark, sf_dir).collect()}
     docs = load_table(spark, sf_dir, "documents")
     freq = Counter()
     import re
@@ -338,8 +341,14 @@ def test_word2vec_train_vocab_and_determinism(spark, sf_dir):
     assert set(out1) == expect_vocab
     assert all(v > 0 for v in out1.values())
     out2 = {r["word"]: r["l2"]
-            for r in OPS["ext_word2vec_train"].fn(spark, sf_dir).collect()}
+            for r in word2vec_vectors(spark, sf_dir).collect()}
     assert out1 == out2
+    # the folded op: one all-invariants-true row over the same fit
+    row = OPS["ext_word2vec_train"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    assert row[0]["n_vocab"] == len(expect_vocab)
+    assert (row[0]["vocab_match_ok"] and row[0]["dims_ok"]
+            and row[0]["norms_ok"])
 
 
 def test_substring_dedup_finds_verbatim_spans_and_caps_hot_buckets(spark):
