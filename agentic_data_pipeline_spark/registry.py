@@ -67,63 +67,16 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # ordering is GENERATED each round by
 # `python scripts/evidence_rotation.py --priority` (r8 verdict items 2-3:
 # FUNCTION-granular staleness via git log -L): ops whose own def changed
-# after their last driver row lead (oldest evidence first — the r9 head
-# includes the reworked ext_kmeans_clusters/q22 and the r8-rewritten
-# dedup/ingest cohort), then ops whose FILE changed around an unchanged
-# def, then fresh ops by evidence age; driver-hidden ops sit at the tail
+# after their last driver row lead (r10 head: the contract-folded
+# ext_word2vec_train needs its first oracle row and q16's spec-map pin
+# needs fresh hash evidence, then the r2-cohort file-stale ops), then
+# ops whose FILE changed around an unchanged def, then fresh ops by
+# evidence age; driver-hidden ops sit at the tail
 # so the budget window is spent entirely on oracle-checkable rows
 # (scripts/driver_preflight.py asserts this).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ext_similarity_topk",
-    "ingest_csv",
-    "ingest_json",
-    "ingest_orc",
-    "ingest_text",
-    "preview",
-    "q_window_rank",
-    "rule_top_performers",
-    "stream_dedup",
-    "vector_index",
-    "ext_dedup_embedding",
-    "ext_domain_mix",
-    "ext_kmeans_clusters",
-    "ext_scd2_history",
-    "ext_zorder_cluster",
-    "q12_priority_by_delay",
-    "q13_order_distribution",
-    "q2_min_cost_supplier",
-    "q_variant",
-    "stream_to_bronze",
-    "vector_search_batch",
-    "ext_data_profile",
-    "ext_histogram_rollup",
-    "ext_knn_graph_batch",
-    "ext_gopher_filters",
-    "ext_dp_mean",
-    "ext_k_anonymity_enforce",
-    "ext_topic_model",
-    "ext_semdedup_contract",
-    "q22_dormant_customers",
-    "q_histogram",
-    "rule_clean_emails",
-    "rule_standardize_currency",
-    "ext_inverted_index",
-    "ingest_error",
-    "ingest_excel",
-    "ingest_pdf",
-    "nl_fallback",
-    "nl_transform",
-    "q_agg",
-    "q_array_funcs",
-    "q_case_when",
-    "q_cte",
-    "q_date_funcs",
-    "q_distinct",
-    "q_except",
-    "q_filter",
-    "q_groupby",
-    "q_intersect",
-    "q_join_anti",
+    "ext_word2vec_train",
+    "q16_part_supplier_counts",
     "q_join_inner",
     "q_join_left",
     "q_join_semi",
@@ -198,18 +151,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_video_dedup_scenehash",
     "ext_video_frames",
     "ext_vocab_coverage",
+    "ext_bpe_encode",
+    "ext_bpe_merges",
     "ext_diversity_sample",
+    "ext_fingerprint",
+    "ext_group_topk",
+    "ext_html_strip",
+    "ext_lang_id",
+    "ext_ngram_freq",
+    "ext_quality_score",
     "ext_salted_join",
+    "ext_text_stats",
+    "ext_tfidf",
+    "ext_token_count",
     "merge_upsert",
     "q10_returned_items",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q17_small_quantity",
     "q18_large_orders",
     "q19_disjunctive_filter",
+    "q21_waiting_suppliers",
     "q3_shipping_priority",
     "q4_late_shipments",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
+    "q9_product_profit",
+    "ext_gopher_filters",
+    "ext_inverted_index",
+    "q12_priority_by_delay",
+    "q13_order_distribution",
+    "q2_min_cost_supplier",
     "q1_pricing_summary",
     "ext_asof_join",
     "ext_funnel",
@@ -257,8 +229,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_fuzzy",
     "stream_quality_gate",
     "stream_stream_join_outer",
-    "ext_bpe_encode",
-    "ext_bpe_merges",
     "ext_chunk_overlap",
     "ext_compact_files",
     "ext_curation_pipeline",
@@ -271,30 +241,61 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_docs_to_chunks",
     "ext_dp_histogram",
     "ext_entropy",
-    "ext_fingerprint",
     "ext_frame_sample",
-    "ext_group_topk",
-    "ext_html_strip",
-    "ext_lang_id",
     "ext_latest_by_key",
     "ext_multimodal",
-    "ext_ngram_freq",
     "ext_pack_sequences",
     "ext_pdf_corpus",
     "ext_pii_redact",
     "ext_pmi_bigrams",
-    "ext_quality_score",
-    "ext_text_stats",
-    "ext_tfidf",
-    "ext_token_count",
     "ext_training_prep_pipeline",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q21_waiting_suppliers",
-    "q9_product_profit",
+    "ext_data_profile",
+    "ext_dedup_embedding",
+    "ext_domain_mix",
+    "ext_dp_mean",
+    "ext_histogram_rollup",
+    "ext_k_anonymity_enforce",
+    "ext_kmeans_clusters",
+    "ext_knn_graph_batch",
+    "ext_scd2_history",
+    "ext_semdedup_contract",
+    "ext_similarity_topk",
+    "ext_topic_model",
+    "ext_zorder_cluster",
+    "ingest_csv",
+    "ingest_error",
+    "ingest_excel",
+    "ingest_json",
+    "ingest_orc",
+    "ingest_pdf",
+    "ingest_text",
+    "nl_fallback",
+    "nl_transform",
+    "preview",
+    "q22_dormant_customers",
+    "q_agg",
+    "q_array_funcs",
+    "q_case_when",
+    "q_cte",
+    "q_date_funcs",
+    "q_distinct",
+    "q_except",
+    "q_filter",
+    "q_groupby",
+    "q_histogram",
+    "q_intersect",
+    "q_join_anti",
+    "q_variant",
+    "q_window_rank",
+    "rule_clean_emails",
+    "rule_standardize_currency",
+    "rule_top_performers",
+    "stream_dedup",
+    "stream_to_bronze",
+    "vector_index",
+    "vector_search_batch",
     "ext_dedup_minhash",
     "ext_dedup_simhash",
-    "ext_word2vec_train",
     "ext_dedup_minhash_clusters",
     "ext_semdedup",
 )
