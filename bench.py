@@ -331,6 +331,10 @@ def _record_history(artifact: dict, hist_path: str | None = None
         # row measured, and the perf-epoch window it belongs to.
         entry["git_sha"] = artifact.get("git_sha")
         entry["perf_epoch"] = artifact.get("perf_epoch")
+        # Conf-A/B rows (bloom forced off) must never merge into
+        # default-conf floors/medians — same sha, different engine conf.
+        if os.environ.get("SPARK_GRAFT_NO_BLOOM"):
+            entry["no_bloom"] = True
         # Per-query maps per invocation (r8): the detail file keeps only
         # the LAST invocation, so without these a slower re-run silently
         # destroys an earlier clean run's per-query evidence; with them,
@@ -345,7 +349,8 @@ def _record_history(artifact: dict, hist_path: str | None = None
         same = [e for e in entries
                 if e.get("sf") == artifact["sf"]
                 and e.get("set_version") == artifact["set_version"]
-                and e.get("spark_over_duckdb_ratio") is not None]
+                and e.get("spark_over_duckdb_ratio") is not None
+                and not e.get("no_bloom")]
         if not same:
             return None
         by_ratio = sorted(same, key=lambda e: e["spark_over_duckdb_ratio"])

@@ -55,8 +55,11 @@ def load(tier: str) -> dict:
             # row recorded outside a git checkout (git_sha=None → "")
             # would prefix-match everything (r8 ADVICE). Spark times only
             # merge across the SAME sha (the engine changed otherwise)...
+            # ...and never across a conf-A/B diagnostic row (bloom
+            # forced off — same sha, different engine conf); its duck
+            # times below are still valid (twin is conf-independent).
             if sha and e_sha and e_sha.startswith(sha[:len(e_sha)]) \
-                    and e.get("queries"):
+                    and e.get("queries") and not e.get("no_bloom"):
                 n_inv += 1
                 for k, v in e["queries"].items():
                     if k in art["queries"]:
@@ -64,10 +67,12 @@ def load(tier: str) -> dict:
             # ...but the DuckDB twin runs oracle SQL, which is pinned by
             # set_version — its minima merge across every invocation of
             # the set (the twin's time is engine-code-independent).
+            # Seed-or-merge (r10): a SPARK_GRAFT_SKIP_DUCK invocation
+            # overwrites the detail artifact with an EMPTY twin map, so
+            # history is the only surviving twin evidence for the tier.
             for k, v in (e.get("duckdb_twin_sec") or {}).items():
-                if k in art["duckdb_twin_sec"]:
-                    art["duckdb_twin_sec"][k] = min(
-                        art["duckdb_twin_sec"][k], v)
+                cur = art["duckdb_twin_sec"].get(k)
+                art["duckdb_twin_sec"][k] = v if cur is None else min(cur, v)
     art["n_merged_invocations"] = n_inv
     return art
 
