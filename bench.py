@@ -252,7 +252,8 @@ def main() -> None:
     if hist.get("ratio_floor_epoch") is not None:
         artifact["value"] = hist["value_floor_epoch"]
         artifact["ratio_of_record"] = hist["ratio_floor_epoch"]
-        window = f"epoch_floor(n={hist.get('n_epoch_invocations')})"
+        window = ("epoch_floor(n="
+                  f"{hist.get('n_epoch_floor_rows', hist.get('n_epoch_invocations'))})")
     else:
         if hist.get("n_epoch_invocations", 0) >= 3:
             rec, window = hist.get("epoch_median_invocation"), "perf_epoch"
@@ -273,10 +274,17 @@ def main() -> None:
                   "incl. this run); duck minima merge across the whole "
                   "set_version",
         "window": window,
-        "invocation_unix": (rec or {}).get("invocation_unix",
-                                           artifact["invocation_unix"]),
-        "is_this_invocation": (rec is None or rec.get("invocation_unix")
-                               == round(bench_start, 1)),
+        # epoch_floor is a COMPOSITE merged across invocations — no single
+        # run measured it, so it gets no invocation timestamp (r10 ADVICE:
+        # attributing the floor to this run's unix misstates provenance).
+        "invocation_unix": (None if window.startswith("epoch_floor")
+                            else (rec or {}).get(
+                                "invocation_unix",
+                                artifact["invocation_unix"])),
+        "is_this_invocation": (False if window.startswith("epoch_floor")
+                               else (rec is None
+                                     or rec.get("invocation_unix")
+                                     == round(bench_start, 1))),
         "live_keys": ["value_live", "ratio_live", "queries", "runs_sec"],
     }
     detail = write_detail(artifact, f"sf{sf}_{SET_VERSION}")
@@ -346,41 +354,53 @@ def _record_history(artifact: dict, hist_path: str | None = None
             f.write(json.dumps(entry) + "\n")
         with open(hist_path) as f:
             entries = [json.loads(line) for line in f if line.strip()]
-        same = [e for e in entries
+        rows = [e for e in entries
                 if e.get("sf") == artifact["sf"]
-                and e.get("set_version") == artifact["set_version"]
-                and e.get("spark_over_duckdb_ratio") is not None
-                and not e.get("no_bloom")]
-        if not same:
+                and e.get("set_version") == artifact["set_version"]]
+        if not rows:
             return None
-        by_ratio = sorted(same, key=lambda e: e["spark_over_duckdb_ratio"])
-        ratios = [e["spark_over_duckdb_ratio"] for e in by_ratio]
-        mid = len(ratios) // 2
-        # Median = the UPPER-median invocation for even counts too (never
-        # an averaged value no invocation measured), so ratio_median and
-        # median_invocation always agree — one real recorded run is the
-        # number of record.
-        out = {
-            "n_invocations": len(ratios),
-            "ratio_median": ratios[mid],
-            "ratio_band": [ratios[0], ratios[-1]],
-            "median_invocation": by_ratio[mid],
-            "min_load_invocation": min(same,
-                                       key=lambda e: e["load_avg"][0]),
-        }
-        # Same-perf-epoch window: rows recorded under the CURRENT code
-        # epoch (pre-epoch rows have no tag and are excluded). This is
-        # what of-record switches to once it has >=3 rows, so a perf fix
-        # shows up in the headline within three invocations instead of
-        # waiting out the all-history median.
-        epoch = [e for e in by_ratio
-                 if e.get("perf_epoch") == artifact.get("perf_epoch")]
-        out["n_epoch_invocations"] = len(epoch)
-        if epoch:
-            e_ratios = [e["spark_over_duckdb_ratio"] for e in epoch]
-            e_mid = len(e_ratios) // 2
-            out["ratio_median_epoch"] = e_ratios[e_mid]
-            out["epoch_median_invocation"] = epoch[e_mid]
+        # Median/band statistics require a single-invocation PAIRED ratio,
+        # so they stay restricted to default-conf rows where both phases
+        # ran (non-None ratio, no bloom-off conf A/B). The FLOOR below is
+        # broader by design (r10 ADVICE): a SPARK_GRAFT_SKIP_DUCK row has
+        # ratio=None but its per-query Spark times are default-conf
+        # evidence, and a no_bloom row's DuckDB twin times are valid (the
+        # twin is conf-independent) even though its Spark side is not.
+        same = [e for e in rows
+                if e.get("spark_over_duckdb_ratio") is not None
+                and not e.get("no_bloom")]
+        out: dict = {"n_invocations": len(same)}
+        if same:
+            by_ratio = sorted(same,
+                              key=lambda e: e["spark_over_duckdb_ratio"])
+            ratios = [e["spark_over_duckdb_ratio"] for e in by_ratio]
+            mid = len(ratios) // 2
+            # Median = the UPPER-median invocation for even counts too
+            # (never an averaged value no invocation measured), so
+            # ratio_median and median_invocation always agree — one real
+            # recorded run is the number of record.
+            out.update({
+                "ratio_median": ratios[mid],
+                "ratio_band": [ratios[0], ratios[-1]],
+                "median_invocation": by_ratio[mid],
+                "min_load_invocation": min(same,
+                                           key=lambda e: e["load_avg"][0]),
+            })
+            # Same-perf-epoch window: rows recorded under the CURRENT code
+            # epoch (pre-epoch rows have no tag and are excluded). This is
+            # what of-record switches to once it has >=3 rows, so a perf
+            # fix shows up in the headline within three invocations
+            # instead of waiting out the all-history median.
+            epoch = [e for e in by_ratio
+                     if e.get("perf_epoch") == artifact.get("perf_epoch")]
+            out["n_epoch_invocations"] = len(epoch)
+            if epoch:
+                e_ratios = [e["spark_over_duckdb_ratio"] for e in epoch]
+                e_mid = len(e_ratios) // 2
+                out["ratio_median_epoch"] = e_ratios[e_mid]
+                out["epoch_median_invocation"] = epoch[e_mid]
+        else:
+            out["n_epoch_invocations"] = 0
         # Min-merged per-query floor (r9 verdict item 6, promoted to the
         # of-record metric in r10): per-query Spark minima across
         # SAME-EPOCH invocations (same engine code; each row is already
@@ -392,12 +412,24 @@ def _record_history(artifact: dict, hist_path: str | None = None
         # 20.4→35.5 s Spark-side while the paired twin held ~10-11 s,
         # making single-invocation (and hence median-of-few) ratios at
         # the sub-second sf0.1 tier mostly a contention lottery.
+        # Spark side of the floor: every default-conf same-epoch row with
+        # a per-query map, REGARDLESS of ratio — a SPARK_GRAFT_SKIP_DUCK
+        # invocation (ratio=None) measured the engine under default conf
+        # and belongs in the floor (r10 ADVICE, medium). no_bloom rows
+        # stay out (different engine conf).
+        floor_rows = [e for e in rows
+                      if e.get("perf_epoch") == artifact.get("perf_epoch")
+                      and e.get("queries") and not e.get("no_bloom")]
+        out["n_epoch_floor_rows"] = len(floor_rows)
         spark_min: dict[str, float] = {}
-        for e in epoch:
+        for e in floor_rows:
             for k, v in (e.get("queries") or {}).items():
                 spark_min[k] = min(spark_min.get(k, v), v)
+        # Duck side: ALL same-set rows, including no_bloom conf-A/Bs —
+        # the twin runs set_version-pinned oracle SQL, engine-conf- and
+        # engine-code-independent (r10 ADVICE, low).
         duck_min: dict[str, float] = {}
-        for e in same:
+        for e in rows:
             for k, v in (e.get("duckdb_twin_sec") or {}).items():
                 duck_min[k] = min(duck_min.get(k, v), v)
         cov = [k for k in spark_min if k in duck_min]

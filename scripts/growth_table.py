@@ -70,7 +70,13 @@ def load(tier: str) -> dict:
             # Seed-or-merge (r10): a SPARK_GRAFT_SKIP_DUCK invocation
             # overwrites the detail artifact with an EMPTY twin map, so
             # history is the only surviving twin evidence for the tier.
+            # Only keys the artifact's own `queries` covers (r10 ADVICE):
+            # SPARK_GRAFT_ONLY subsets all share set_version 'v2sub', so
+            # an unguarded merge could seed twin keys from a DIFFERENT
+            # subset, deflating the twin-covered ratio in Spark's favor.
             for k, v in (e.get("duckdb_twin_sec") or {}).items():
+                if k not in art["queries"]:
+                    continue
                 cur = art["duckdb_twin_sec"].get(k)
                 art["duckdb_twin_sec"][k] = v if cur is None else min(cur, v)
     art["n_merged_invocations"] = n_inv
@@ -102,8 +108,10 @@ def main() -> None:
     for t in TIERS:
         a = arts[t]
         twin = a["duckdb_twin_sec"]
+        # Totals over the SAME key set on both sides (r10 ADVICE): a twin
+        # key absent from `queries` must not inflate d_tot.
         s_tot = sum(v for k, v in a["queries"].items() if k in twin)
-        d_tot = sum(twin.values())
+        d_tot = sum(v for k, v in twin.items() if k in a["queries"])
         total.append(f" {s_tot:.1f} | {d_tot:.1f} | {s_tot / d_tot:.2f}x |")
     print("| **twin-covered total** |" + "".join(total))
     shas = {t: f"{arts[t].get('git_sha', '?')[:7]}"

@@ -84,6 +84,12 @@ def main() -> None:
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }, separators=(",", ":")))
 
+    # Caller-owns-lifecycle for reliable_dir (pagerank docstring contract):
+    # every disk_e1 result above has been fully consumed (noop-written /
+    # collected), so the checkpoint files are dead — delete them.
+    import shutil
+    shutil.rmtree(VARIANTS["disk_e1"]["reliable_dir"], ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

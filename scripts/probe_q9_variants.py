@@ -93,10 +93,14 @@ def session(bloom: bool) -> SparkSession:
     import pyarrow.parquet as pq
     n_fact = pq.ParquetFile(
         os.path.join(SF_DIR, "lineitem.parquet")).metadata.num_rows
-    if bloom:
-        apply_scaled_shuffle(spark, max(n_fact, 10_000_000))
-    else:
-        apply_scaled_shuffle(spark, min(n_fact, 9_999_999))
+    # Same declared row count in BOTH branches so shuffle-partition count
+    # is identical and only the bloom conf differs (r10 ADVICE: the old
+    # min(n_fact, 9_999_999) off-branch also lowered partitions, e.g.
+    # ~99 vs ~180 at sf3, confounding the A/B). apply_scaled_shuffle may
+    # ratchet bloom ON at >=10M; the explicit set below overrides it and
+    # the ratchet makes later tune() calls leave the conf alone.
+    apply_scaled_shuffle(spark, max(n_fact, 10_000_000))
+    if not bloom:
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     return spark

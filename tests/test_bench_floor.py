@@ -54,3 +54,40 @@ def test_floor_covers_only_twin_covered_queries(tmp_path):
         hist_path=hist)
     assert out["ratio_floor_epoch"] == 2.0          # q_noduck excluded
     assert out["value_floor_epoch"] == 5.2          # but in the value total
+
+
+def test_skip_duck_row_enters_spark_floor(tmp_path):
+    """r10 ADVICE (medium): a SPARK_GRAFT_SKIP_DUCK invocation records
+    ratio=None — it must still contribute its per-query Spark minima to
+    the floor (default conf, same epoch), while staying out of the
+    median/band statistics (no paired ratio exists for it)."""
+    import bench
+
+    hist = str(tmp_path / "h.jsonl")
+    bench._record_history(
+        _art(1.0, "rX", {"q1": 0.50}, {"q1": 0.10}), hist_path=hist)
+    out = bench._record_history(
+        _art(2.0, "rX", {"q1": 0.20}, {}, ratio=None), hist_path=hist)
+    assert out["ratio_floor_epoch"] == 2.0      # spark min 0.20 / duck 0.10
+    assert out["n_invocations"] == 1            # median window: paired only
+    assert out["n_epoch_floor_rows"] == 2
+
+
+def test_no_bloom_row_duck_merges_spark_does_not(tmp_path, monkeypatch):
+    """r10 ADVICE (low): a no_bloom conf-A/B row's Spark times must stay
+    out of the floor (different engine conf) but its DuckDB twin times are
+    conf-independent evidence and merge into duck_min."""
+    import bench
+
+    hist = str(tmp_path / "h.jsonl")
+    monkeypatch.setenv("SPARK_GRAFT_NO_BLOOM", "1")
+    bench._record_history(
+        _art(1.0, "rX", {"q1": 0.05}, {"q1": 0.02}), hist_path=hist)
+    monkeypatch.delenv("SPARK_GRAFT_NO_BLOOM")
+    out = bench._record_history(
+        _art(2.0, "rX", {"q1": 0.40}, {"q1": 0.10}), hist_path=hist)
+    # spark floor ignores the no_bloom 0.05; duck floor takes its 0.02
+    assert out["floor_spark_cov_sec"] == 0.4
+    assert out["floor_duck_cov_sec"] == 0.02
+    assert out["ratio_floor_epoch"] == 20.0
+    assert out["n_epoch_floor_rows"] == 1
