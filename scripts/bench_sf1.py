@@ -213,7 +213,8 @@ def main() -> None:
     rec, window = None, "none"
     if (hist or {}).get("ratio_floor_epoch") is not None:
         artifact["ratio_of_record"] = hist["ratio_floor_epoch"]
-        window = f"epoch_floor(n={hist.get('n_epoch_invocations')})"
+        window = ("epoch_floor(n="
+                  f"{hist.get('n_epoch_floor_rows', hist.get('n_epoch_invocations'))})")
     else:
         if (hist or {}).get("n_epoch_invocations", 0) >= 3:
             rec, window = hist.get("epoch_median_invocation"), "perf_epoch"

@@ -141,10 +141,17 @@ def build_report():
 
     def key(r):
         never = r["last_round"] == 0
-        tier = (0 if r["stale_func"] else
-                1 if never else
-                2 if r["stale_file"] else 3)
-        return (tier, r["last_round"], r["op"])
+        # stale_func (the op's OWN def changed after its last driver row)
+        # and never-sampled stay the hard-alarm tiers. Below them,
+        # EVIDENCE AGE is the primary order (r10 verdict item 3): ranking
+        # every soft stale_file op ahead of fresh-file ops let ~56
+        # stale_file rows (shared-helper churn, all sweep-green) starve
+        # the r03-r05-evidence cohort out of the driver's ~50-op window
+        # for four consecutive rounds. stale_file now breaks ties within
+        # the same evidence round instead.
+        tier = 0 if r["stale_func"] else 1 if never else 2
+        return (tier, r["last_round"],
+                0 if r["stale_file"] else 1, r["op"])
 
     rows.sort(key=key)
     return rows
