@@ -23,7 +23,8 @@ C = F.col
 
 def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
              iters: int = 10, checkpoint_every: int = 1,
-             reliable_dir: str | None = None) -> DataFrame:
+             reliable_dir: str | None = None,
+             eager_cuts: bool = True) -> DataFrame:
     """PageRank by power iteration. ``vertices``: one column ``id``;
     ``edges``: ``src``, ``dst`` (directed, unweighted).
 
@@ -67,9 +68,13 @@ def pagerank(vertices: DataFrame, edges: DataFrame, damping: float = 0.85,
 
     def cut0(df: DataFrame) -> DataFrame:
         """Lineage cut for the loop-invariant init state — same backing
-        (disk vs executor blocks) as the per-round cuts."""
+        (disk vs executor blocks) as the per-round cuts. ``eager_cuts=
+        False`` keeps the identical LogicalRDD plan barrier (toRdd runs
+        at cut time either way) but skips the per-round materializing
+        count() job — blocks materialize when a later stage first reads
+        them, so the 10-round chain rides fewer driver-synced jobs."""
         return (df.checkpoint() if reliable_dir is not None
-                else df.localCheckpoint())
+                else df.localCheckpoint(eager=eager_cuts))
 
     def cut(df: DataFrame, rnd: int) -> DataFrame:
         if (rnd + 1) % max(1, checkpoint_every) != 0:
@@ -188,7 +193,13 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(C("vec_id").alias("src"), C("neighbor_id").alias("dst")))
     verts = (load_table(spark, sf_dir, "embeddings")
              .select(C("vec_id").alias("id")))
-    return (pagerank(verts, edges, damping=0.85, iters=10)
+    # eager_cuts=False: identical plan barriers, ~1 driver-synced job per
+    # round fewer (blocks materialize inside the next round's AQE stages).
+    # Interleaved 2x2 A/B incl. AQE on/off, ranks checked identical:
+    # scripts/probe_pagerank_lazy.py — lazy+AQE floors 2.31 s vs eager's
+    # 2.62 s at sf0.1; AQE-off loses badly (32 uncoalesced tasks/stage).
+    return (pagerank(verts, edges, damping=0.85, iters=10,
+                     eager_cuts=False)
             .select("id", (F.floor(C("rank") * 1e9 + 1e-3) / 1e9)
                     .alias("rank")))
 

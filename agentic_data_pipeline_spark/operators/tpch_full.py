@@ -496,6 +496,9 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.47→2.01 s. The r8 'fold into one string-keyed agg' idea was also
     measured at sf10: 2.24 s — beats the unpinned double-eval, loses to
     the pin, and gives up the narrow-key shuffle that matters at 100 TB.
+    Lifecycle: localCheckpoint blocks live on executor local disk for the
+    SparkSession's lifetime (dim-sized, ~10³ rows ≈ KBs) — same
+    caller-owns-session contract as pagerank's lineage cuts (graph.py).
     """
     part = (load_table(spark, sf_dir, "part")
             .filter((C("p_brand") != "Brand#1")

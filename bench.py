@@ -117,12 +117,12 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r10"  # r10: the bloom ratchet is genuinely effective for
-                    # the first time (tune() used to un-ratchet it on
-                    # every load_table, so r9b's >=10M-row tier benches
-                    # actually ran bloom-OFF), and q16's spec map is
-                    # pinned (dim subtree no longer evaluated twice).
-                    # Supersedes r9b.
+PERF_EPOCH = "r11a"  # r11a: ext_pagerank's per-round lineage cuts go
+                     # lazy (localCheckpoint(eager=False) — same plan
+                     # barriers, ~1 driver-synced job/round fewer;
+                     # probe_pagerank_lazy.py). Supersedes r10: the
+                     # bloom ratchet became genuinely effective and
+                     # q16's spec map was pinned.
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
