@@ -106,12 +106,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where customer and supplier share
     the nation, one region, two-year window — the canonical 6-way join.
 
-    Plan: the whole dim side (region→nation→supplier, plus customer) is
-    small relative to the facts, so every dim broadcasts; lineitem joins
-    orders on the orderkey (the one big shuffle pair), then picks up
-    supplier and the customer-nation equality via broadcasts. The
-    c_nationkey = s_nationkey predicate rides on the join, not a filter
-    afterward — Catalyst pushes it into the broadcast hash join condition.
+    Plan: every broadcastable dim reduction lands BEFORE the one big
+    shuffle pair (lineitem ⋈ orders on the orderkey). The ASIA-customer
+    cut (region→nation→customer, ~5x on orders) is a chain of broadcasts
+    into orders on the MAP side of its exchange, so the build side
+    shuffles ~5x fewer rows and the runtime bloom it seeds prunes the
+    lineitem scan to ASIA-window orders; n_name rides along from the
+    customer side so no post-shuffle nation join is needed. Supplier
+    broadcasts after the join carrying the c_nationkey = s_nationkey
+    equality inside the join condition. The old shape applied all of
+    this AFTER shuffling the full fact table — the exchange is the
+    scale bottleneck, the broadcasts are free (r11 interleaved A/B,
+    results identical: sf10 7.38 s → 3.72 s; probe_q58_reorder.py).
     """
     region = (load_table(spark, sf_dir, "region")
               .filter(C("r_name") == "ASIA").select("r_regionkey"))
@@ -119,22 +125,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_nations = nation.join(
         F.broadcast(region), C("n_regionkey") == C("r_regionkey")
     ).select("n_nationkey", "n_name")
-    supplier = (load_table(spark, sf_dir, "supplier")
-                .select("s_suppkey", "s_nationkey"))
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(F.broadcast(asia_nations),
+                  C("c_nationkey") == C("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name"))
     orders = (load_table(spark, sf_dir, "orders")
               .filter((C("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                       & (C("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
-              .select("o_orderkey", "o_custkey"))
+              .select("o_orderkey", "o_custkey")
+              .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
+              .select("o_orderkey", "c_nationkey", "n_name"))
+    supplier = (load_table(spark, sf_dir, "supplier")
+                .select("s_suppkey", "s_nationkey"))
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
     return (
         li.join(orders, C("l_orderkey") == C("o_orderkey"))
-        .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
         .join(F.broadcast(supplier),
               (C("l_suppkey") == C("s_suppkey"))
               & (C("c_nationkey") == C("s_nationkey")))
-        .join(F.broadcast(asia_nations), C("s_nationkey") == C("n_nationkey"))
         .groupBy("n_name")
         .agg(_revenue().alias("revenue"))
     )
@@ -309,11 +319,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by year —
     the two-role dimension join (nation joins twice under different names).
 
-    Plan: both nation roles and the supplier/customer dims broadcast; the
-    disjunctive nation-pair predicate can only be applied once both roles
-    are attached, but each broadcast side is pre-filtered to the two
-    nations of interest, so the fact rows that survive the hash probes are
-    already nearly final. lineitem↔orders stays the one big shuffle join.
+    Plan: both nation roles are 2-of-25 cuts, and both land BEFORE the
+    one big shuffle pair (lineitem ⋈ orders): supplier⋈n1 broadcasts into
+    lineitem and customer⋈n2 into orders on the MAP side of their
+    exchanges, shrinking both sides ~12x; the disjunctive nation-pair
+    predicate is the only thing that must wait until both roles are
+    attached, so it alone stays post-join. The old shape shuffled the
+    full fact rows and applied every role cut after (r11 interleaved
+    A/B, results identical: sf10 4.95 s → 2.56 s, ~2x in every pass;
+    probe_q58_reorder.py).
     """
     nation = load_table(spark, sf_dir, "nation").filter(
         C("n_name").isin("NATION_1", "NATION_2"))
@@ -321,20 +335,28 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                        C("n_name").alias("supp_nation"))
     n2 = nation.select(C("n_nationkey").alias("c_nkey"),
                        C("n_name").alias("cust_nation"))
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(n1), C("s_nationkey") == C("s_nkey"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(F.broadcast(n2), C("c_nationkey") == C("c_nkey"))
+            .select("c_custkey", "cust_nation"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey")
+              .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
+              .select("o_orderkey", "cust_nation"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((C("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                   & (C("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-                  "l_shipdate"))
+                  "l_shipdate")
+          .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
+          .select("l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate", "supp_nation"))
     return (
         li.join(orders, C("l_orderkey") == C("o_orderkey"))
-        .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
-        .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
-        .join(F.broadcast(n1), C("s_nationkey") == C("s_nkey"))
-        .join(F.broadcast(n2), C("c_nationkey") == C("c_nkey"))
         .filter(((C("supp_nation") == "NATION_1") & (C("cust_nation") == "NATION_2"))
                 | ((C("supp_nation") == "NATION_2") & (C("cust_nation") == "NATION_1")))
         .groupBy("supp_nation", "cust_nation",

@@ -172,11 +172,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     type, by year — the widest dim fan (7 joins, nation in two roles).
 
     Plan: every dim (customer+nation+region market side, part filter,
-    supplier+nation share side) broadcasts; lineitem↔orders is the only
-    shuffle join. The share is a conditional-sum / total-sum ratio computed
-    in one hash-agg pass over exact cents, so the division is the only
-    floating step and it divides identical BIGINT-derived doubles in both
-    engines.
+    supplier+nation share side) broadcasts, and every one of them lands
+    BEFORE the only shuffle join (lineitem ⋈ orders): the p_type cut is
+    ~6x on lineitem and the ASIA-customer cut ~5x on orders, so applying
+    them map-side shrinks BOTH sides of the exchange — the old shape
+    shuffled the full 60M-row fact first and dropped 5/6 of it after
+    (r11 interleaved A/B, results identical: sf10 8.47 s → 3.03 s;
+    probe_q58_reorder.py). The supplier-nation name also attaches
+    pre-shuffle, so the exchange carries (orderkey, rev cents, name) and
+    nothing joins after it. The share is a conditional-sum / total-sum
+    ratio computed in one hash-agg pass over exact cents, so the division
+    is the only floating step and it divides identical BIGINT-derived
+    doubles in both engines.
     """
     region = (load_table(spark, sf_dir, "region")
               .filter(C("r_name") == "ASIA").select("r_regionkey"))
@@ -197,17 +204,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (load_table(spark, sf_dir, "orders")
               .filter((C("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                       & (C("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
-              .select("o_orderkey", "o_custkey", "o_orderdate"))
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+              .select("o_orderkey", "o_custkey", "o_orderdate")
+              .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
+              .select("o_orderkey", "o_orderdate"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount")
+          .join(F.broadcast(part), C("l_partkey") == C("p_partkey"))
+          .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
+          .join(F.broadcast(supp_nation), C("s_nationkey") == C("sn_nkey"))
+          .select("l_orderkey", "l_extendedprice", "l_discount",
+                  "supp_nation"))
     rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
     nation_c = F.when(C("supp_nation") == "NATION_1", rev_c).otherwise(F.lit(0))
     return (
         li.join(orders, C("l_orderkey") == C("o_orderkey"))
-        .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
-        .join(F.broadcast(part), C("l_partkey") == C("p_partkey"))
-        .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
-        .join(F.broadcast(supp_nation), C("s_nationkey") == C("sn_nkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg((F.sum(nation_c).cast("double")
               / F.sum(rev_c).cast("double")).alias("mkt_share"))

@@ -117,12 +117,12 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r11a"  # r11a: ext_pagerank's per-round lineage cuts go
-                     # lazy (localCheckpoint(eager=False) — same plan
-                     # barriers, ~1 driver-synced job/round fewer;
-                     # probe_pagerank_lazy.py). Supersedes r10: the
-                     # bloom ratchet became genuinely effective and
-                     # q16's spec map was pinned.
+PERF_EPOCH = "r11b"  # r11b: q5/q7/q8 reordered — every broadcastable
+                     # dim cut lands BEFORE the orderkey exchange
+                     # (sf10 mins 7.38->3.72 / 4.95->2.56 / 8.47->3.03;
+                     # probe_q58_reorder.py). Supersedes r11a (lazy
+                     # pagerank lineage cuts, probe_pagerank_lazy.py)
+                     # which superseded r10 (bloom ratchet + q16 pin).
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3

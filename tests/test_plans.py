@@ -182,9 +182,17 @@ def test_q6_pure_scan_pushdown(spark):
 
 def test_q8_single_fact_shuffle(spark):
     p = plan_of(spark, "q8_market_share")
-    # 7 logical joins: orderkey join may shuffle, every dim broadcasts
+    # 7 logical joins: every dim broadcasts on the MAP side of the one
+    # orderkey exchange (r11 reorder); only that fact⋈fact join may
+    # shuffle. Pre-AQE it plans as ONE SortMergeJoin — at scale that is
+    # the honest shape (the date-filtered orders side is fact-sized, so
+    # asserting no-SMJ only ever held via the tiny test SF's
+    # auto-broadcast); AQE localizes it back to broadcast when small.
     assert p.count("BroadcastHashJoin") >= 5
-    assert "SortMergeJoin" not in p
+    # tree-section spelling: the detail section repeats the bare operator
+    # name, so count the "<op> Inner" form that appears once per join
+    assert (p.count("SortMergeJoin Inner")
+            + p.count("ShuffledHashJoin Inner")) <= 1
 
 
 def test_q13_outer_join_preserves_customers(spark):
