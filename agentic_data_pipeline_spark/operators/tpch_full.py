@@ -625,17 +625,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS/NOT-EXISTS spelling, so parity also proves the decorrelation
     equivalent.
 
-    The orders side BROADCASTS (it's the filtered small side), so the join
-    output keeps the scan's file partitioning — without help the
-    (order, supplier) aggregate and the per-order reduction would each add
-    their own exchange. The explicit ``repartition("l_orderkey")`` makes
-    ONE hash(orderkey) exchange serve both: hash(orderkey) satisfies the
-    clustered distribution of BOTH aggregates, so the whole collapse→
-    reduce chain is exchange-free after it. Two hash aggregates replace
-    the r2 version's aggregate + two-function window: same single
-    exchange, but no per-partition sort and the order grain (≪ line
-    grain) feeds the final broadcast join. Measured sf0.1 0.72 s → 0.47 s,
-    sf1 1.04 s → 0.74 s, identical rows (BASELINE.md round-8 table).
+    The orderkey join is hinted shuffle-hash and its own output
+    partitioning feeds both aggregates: hash(l_orderkey) satisfies the
+    clustered distribution of the (order, supplier) collapse AND the
+    per-order reduction, so the whole join→collapse→reduce chain rides
+    ONE exchange per input and nothing re-shuffles after the join. The
+    r8 shape instead assumed the 'F'-filtered orders side broadcasts and
+    paid an explicit repartition(l_orderkey) to re-cluster the join
+    output — at sf10 orders is ~7M rows, does NOT broadcast, and that
+    shape shuffled the fact-sized join output a second time (r11
+    interleaved A/B, identical rows: sf10 min 8.3 s → 6.08 s, better in
+    every pass — probe_q421_rewrite.py). Two hash aggregates replace
+    the r2 version's aggregate + two-function window: no per-partition
+    sort, and the order grain (≪ line grain) feeds the final broadcast
+    join.
     """
     orders = (load_table(spark, sf_dir, "orders")
               .filter(C("o_orderstatus") == "F")
@@ -644,8 +647,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate")
     late = (C("l_shipdate") > C("o_orderdate")
             + F.expr("INTERVAL 60 DAYS")).cast("int")
-    per_os = (li.join(orders, C("o_orderkey") == C("l_orderkey"))
-              .repartition("l_orderkey")
+    per_os = (li.join(orders.hint("shuffle_hash"),
+                      C("o_orderkey") == C("l_orderkey"))
               .groupBy("l_orderkey", "l_suppkey")
               .agg(F.max(late).alias("s_late")))
     per_order = (per_os.groupBy("l_orderkey")

@@ -100,9 +100,13 @@ def test_q5_all_dims_broadcast(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-def test_q4_semi_join_no_duplication(spark):
+def test_q4_preagg_no_duplication(spark):
     p = plan_of(spark, "q4_late_shipments")
-    assert "LeftSemi" in p                              # EXISTS stays semi
+    # EXISTS == max(l_shipdate) per order (r11): lineitem partial-aggs
+    # map-side BEFORE its orderkey exchange, so the exchange carries the
+    # order grain; the 1:1 orderkey join can't duplicate rows.
+    assert p.count("HashAggregate") >= 4                # max partial+final
+    assert "partial_max(l_shipdate" in p                # map-side combine
     assert "GreaterThanOrEqual(o_orderdate" in p        # date window pushed
 
 
@@ -280,7 +284,13 @@ HEADLINE_MAX_SHUFFLES = {
     "ext_sessionize": 1,         # one user_id shuffle shared by the windows
     "ext_asof_join": 1,
     "ext_similarity_topk": 2,    # salted phase-1 + candidate merge
-    "q21_waiting_suppliers": 2,  # one orderkey exchange serves both aggs
+    # r11: li(orderkey) + orders(orderkey) + final s_name agg. The r8
+    # shape showed 2 here only by assuming the fact-sized orders side
+    # broadcasts (it doesn't past sf1) and re-shuffling the LINE-grain
+    # join output; the third exchange now carries the ~4x-smaller order
+    # grain instead — node count up, exchange bytes down (sf10 A/B
+    # 8.3->6.08 s, probe_q421_rewrite.py).
+    "q21_waiting_suppliers": 3,
     "ext_curation_pipeline": 5,  # composed multi-stage pipeline
 }
 
