@@ -458,10 +458,19 @@ def ext_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — not just its stages.
 
     Plan: classifier + fingerprint are map-only on the scan; dedup is the
-    one corpus shuffle (window on fingerprint); the shard stats aggregate
-    is map-side combined. Threshold -0.04 sits just below the score
-    distribution's center so the filter genuinely drops docs at every SF
-    (a 0-survivor or all-survivor pipeline would make the check vacuous).
+    one corpus shuffle — a min_by AGGREGATE on the fingerprint (same
+    survivor as the old row_number window: min doc_id), which map-side
+    combines and carries only (fp, doc_id, n_tokens) through the
+    exchange, where the r4 window shape shuffled every surviving row
+    WHOLE (document text included) and sorted each group. Honesty note
+    (r11 interleaved A/B, identical rows, probe_prep_minby.py): at sf10
+    this measures a WASH (44.6 vs 45.8 s) — the op is compute-bound on
+    the per-word md5 scoring, which both engines pay by construction;
+    the exchange-diet matters at real document sizes, not the fixture's
+    ~50-word rows. Kept for the scale shape: text never shuffles. The
+    shard stats aggregate is map-side combined. Threshold -0.04 sits just below the score distribution's
+    center so the filter genuinely drops docs at every SF (a 0-survivor
+    or all-survivor pipeline would make the check vacuous).
     """
     from .sampling import hash_bucket
 
@@ -480,13 +489,13 @@ def ext_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter((C("score") >= -0.04) & (C("n_tokens") >= 10))
     fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
                         "utf-8"))
-    w = Window.partitionBy(fp).orderBy("doc_id")
-    dedup = (kept.withColumn("__rn", F.row_number().over(w))
-             .filter(C("__rn") == 1))
-    return (dedup.groupBy(hash_bucket(C("doc_id"), 16).alias("shard"))
+    surv = (kept.groupBy(fp.alias("fp"))
+            .agg(F.min_by(F.struct("doc_id", "n_tokens"), C("doc_id"))
+                 .alias("s")))
+    return (surv.groupBy(hash_bucket(C("s.doc_id"), 16).alias("shard"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-                 F.min("doc_id").alias("min_doc")))
+                 F.sum("s.n_tokens").cast("bigint").alias("total_tokens"),
+                 F.min("s.doc_id").alias("min_doc")))
 
 
 K_ANON = 10
