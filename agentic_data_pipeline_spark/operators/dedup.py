@@ -803,7 +803,8 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 25,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         eager_cuts: bool = False) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     ``vertices``: one column ``id``; ``edges``: columns ``s``, ``t``
@@ -819,7 +820,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     cheap agg per round — strictly decreasing until converged). At much
     larger diameters switch to large-star/small-star (Kiveris '14), which
     converges in O(log n) rounds over the same primitives.
+
+    ``eager_cuts=False`` (default since r11): the cuts are lazy
+    localCheckpoints — same LogicalRDD plan barrier, but the per-round
+    materializing count() job is skipped because the convergence
+    aggregate's collect() materializes the round's blocks in ITS job
+    anyway (the same lever as pagerank's lazy cuts, graph.py; labels are
+    bit-identical — only job scheduling changes). Interleaved A/B:
+    scripts/probe_cc_lazy.py.
     """
+    def cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=eager_cuts)
+
     # Materialize the symmetrized edge list ONCE before iterating: `edges`
     # is typically the expensive candidate-generation subtree (all-pairs /
     # banded-LSH Jaccard verify, cosine join), and without a lineage cut
@@ -828,10 +840,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     # O(diameter × candidate-gen) at 100 TB. Measured at sf0.1 on
     # ext_dedup_clusters_bounded (exact all-pairs front-end, ~4 rounds):
     # 3.3-4.3 s → 2.0 s, and run-to-run variance collapses with it.
-    sym = (edges.select("s", "t")
-           .union(edges.select(C("t").alias("s"), C("s").alias("t")))
-           .localCheckpoint())
-    comp = vertices.select(C("id"), C("id").alias("comp")).localCheckpoint()
+    sym = cut(edges.select("s", "t")
+              .union(edges.select(C("t").alias("s"), C("s").alias("t"))))
+    comp = cut(vertices.select(C("id"), C("id").alias("comp")))
     prev_sum = None
     rounds = 0
     for _ in range(max_iter):
@@ -840,12 +851,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .groupBy(C("t").alias("_mid"))
             .agg(F.min("comp").alias("_nbr_min"))
         )
-        comp = (
+        comp = cut(
             comp.join(msgs, C("id") == C("_mid"), "left")
             .select("id",
                     F.least(C("comp"), F.coalesce(C("_nbr_min"), C("comp")))
                     .alias("comp"))
-            .localCheckpoint()
         )
         rounds += 1
         s = comp.agg(F.sum("comp")).collect()[0][0]
@@ -859,7 +869,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
 def connected_components_star(vertices: DataFrame, edges: DataFrame,
                               max_iter: int = 50,
-                              stats: dict | None = None) -> DataFrame:
+                              stats: dict | None = None,
+                              eager_cuts: bool = False) -> DataFrame:
     """Connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC 2014) — the O(log n)-round algorithm for graphs whose diameter
@@ -892,8 +903,13 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
     (pytest pins equality on random graphs; the chain probe pins the
     round-count separation: scripts/probe_cc_star.py).
     """
-    E = (edges.select(C("s").alias("a"), C("t").alias("b"))
-         .filter(C("a") != C("b")).distinct().localCheckpoint())
+    def cut(df: DataFrame) -> DataFrame:
+        # Lazy by default (r11): the per-round fixpoint-signature collect()
+        # materializes the blocks in its own job — see connected_components.
+        return df.localCheckpoint(eager=eager_cuts)
+
+    E = cut(edges.select(C("s").alias("a"), C("t").alias("b"))
+            .filter(C("a") != C("b")).distinct())
     prev_sig = None
     rounds = 0
     for _ in range(max_iter):
@@ -910,11 +926,10 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
         smins = (oriented.groupBy("a")
                  .agg(F.least(F.min("b"), F.first("a")).alias("m")))
         joined = oriented.join(smins, "a")
-        E = (joined.select(C("b").alias("a"), C("m").alias("b"))
-             .union(smins.select(C("a"), C("m").alias("b")))
-             .filter(C("a") != C("b"))
-             .distinct()
-             .localCheckpoint())
+        E = cut(joined.select(C("b").alias("a"), C("m").alias("b"))
+                .union(smins.select(C("a"), C("m").alias("b")))
+                .filter(C("a") != C("b"))
+                .distinct())
         rounds += 1
         # Decimal(38,0) sums: the xxhash64 sum overflows BIGINT under
         # ANSI mode after a handful of rows; decimal accumulation is

@@ -117,12 +117,14 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r11b"  # r11b: q5/q7/q8 reordered — every broadcastable
-                     # dim cut lands BEFORE the orderkey exchange
-                     # (sf10 mins 7.38->3.72 / 4.95->2.56 / 8.47->3.03;
-                     # probe_q58_reorder.py). Supersedes r11a (lazy
-                     # pagerank lineage cuts, probe_pagerank_lazy.py)
-                     # which superseded r10 (bloom ratchet + q16 pin).
+PERF_EPOCH = "r11c"  # r11c: lazy per-round lineage cuts in both CC loops
+                     # (probe_cc_lazy.py — min-label 2.22->2.13, star
+                     # 4.81->4.52 at sf0.1, rows identical). Supersedes
+                     # r11b (q5/q7/q8 dim cuts moved BEFORE the orderkey
+                     # exchange: sf10 mins 7.38->3.72 / 4.95->2.56 /
+                     # 8.47->3.03, probe_q58_reorder.py; no r11b bench row
+                     # was ever recorded) which superseded r11a (lazy
+                     # pagerank cuts) and r10 (bloom ratchet + q16 pin).
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
