@@ -318,6 +318,14 @@ def _md5_bands_and_sets(df: DataFrame, id_col: str,
     BASELINE.md — so the stream is materialized once and feeds both the
     signature aggregate and the verify sets)."""
     sh = shingles_exploded(df, id_col, text_col, 3).localCheckpoint()
+    # ^ stays EAGER (r11): the lazy form materializes only under the
+    # bands/sets consumers, by which point this builder scope is gone and
+    # the ContextCleaner has dropped the subtree's SQL-metric accumulators
+    # — every task completion then logs "ERROR DAGScheduler: Failed to
+    # update accumulator" (results unaffected, but 47 ERROR lines per
+    # execution measured in the r11 lazy-pin sweep; probe log kept in
+    # OPTIMIZATION_r11.md). The other lazy pins materialize while their
+    # builder is alive and stay quiet.
 
     def h(i: int) -> Column:
         return F.conv(F.substring(

@@ -259,8 +259,10 @@ def triangle_count(edges: DataFrame, salt_threshold: int | None = None,
         F.when(u_first, C("u")).otherwise(C("v")).alias("a"),
         F.when(u_first, C("v")).otherwise(C("u")).alias("b"),
         F.when(u_first, C("dv")).otherwise(C("du")).alias("db"))
-        .localCheckpoint())  # reused three times below (two wedge legs
-                             # + closing probe): pin, don't recompute
+        .localCheckpoint(eager=False))  # reused three times below (two
+                             # wedge legs + closing probe): pin, don't
+                             # recompute; lazy — the first wedge join
+                             # materializes the blocks (r11)
     order = (C("db1") < C("db2")) | ((C("db1") == C("db2"))
                                      & (C("b1") < C("b2")))
     if salt_threshold is None:

@@ -619,7 +619,8 @@ def pq_train(emb: DataFrame, vec_col: str = "embedding",
     d = len(emb.select(vec_col).head()[0])
     sub = d // m
     sample = emb.select(id_col, vec_col).orderBy(id_col) \
-        .limit(sample_rows).localCheckpoint()
+        .limit(sample_rows).localCheckpoint(eager=False)  # first fit
+                                                          # job pins it
     books = []
     for j in range(m):
         sl = F.slice(C(vec_col).cast("array<double>"), j * sub + 1, sub)
@@ -1046,7 +1047,8 @@ def semdedup(emb: DataFrame, k_clusters: int | None = None,
     assigned = (model.transform(feats).drop("__features")
                 .select(C(id_col), C("cluster_id").cast("bigint"),
                         C(vec_col), l2_norm(C(vec_col)).alias("__n"))
-                .localCheckpoint())  # pin: reused on both join sides
+                .localCheckpoint(eager=False))  # pin: reused on both
+                                                # join sides (lazy, r11)
     a = assigned.select(C("cluster_id"), C(id_col).alias("a_id"),
                         C(vec_col).alias("a_vec"), C("__n").alias("a_n"))
     b = assigned.select(C("cluster_id").alias("b_cluster"),
@@ -1140,7 +1142,7 @@ def ext_semdedup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    res = semdedup(emb, threshold=0.35).localCheckpoint()
+    res = semdedup(emb, threshold=0.35).localCheckpoint(eager=False)
 
     n_df = emb.agg(
         F.count(F.lit(1)).cast("int").alias("n_vectors"),
@@ -1471,6 +1473,9 @@ def knn_graph_derived(emb: DataFrame, k: int = 3,
         assigned = (emb.select(id_col, vec_col)
                     .join(cells.hint("shuffle_hash"), id_col)
                     .select(C(id_col), C("__cell"), C(vec_col))
+                    # EAGER: the consumers run after this builder scope
+                    # dies — the lazy form logs per-task accumulator
+                    # ERRORs (r11 lazy-pin sweep; see _md5_bands_and_sets)
                     .localCheckpoint())
     else:
         feats = emb.withColumn(
@@ -1481,7 +1486,7 @@ def knn_graph_derived(emb: DataFrame, k: int = 3,
                     .select(C(id_col),
                             C("__cell").cast("int").alias("__cell"),
                             C(vec_col))
-                    .localCheckpoint())
+                    .localCheckpoint())  # eager — see branch above
     edges = knn_graph_batch(assigned, k=k, block_col="__cell",
                             id_col=id_col, vec_col=vec_col)
     return assigned, edges
@@ -1526,7 +1531,7 @@ def ext_knn_graph_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, edges = knn_graph_derived(emb, k=3)
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint()  # eager — see knn_graph_derived
 
     n_row = emb.agg(
         F.count(F.lit(1)).cast("int").alias("n_vectors"),

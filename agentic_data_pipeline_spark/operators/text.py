@@ -634,7 +634,9 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
           # word → space-joined character symbols: "low" → "l o w"
           .select(F_.array_join(F_.split(C("w"), ""), " ").alias("sym"),
                   "freq")
-          .localCheckpoint())
+          # lazy pin: step 1's argmax collect materializes the blocks in
+          # its own job (the "touched once" barrier is unchanged — r11)
+          .localCheckpoint(eager=False))
     merges: list[tuple[int, str, int]] = []
     for step in range(1, n_merges + 1):
         syms = F_.split(C("sym"), " ")
@@ -657,7 +659,8 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
         wf = wf.select(
             F_.regexp_replace(C("sym"), pat, a + b).alias("sym"), "freq")
         if step % 8 == 0:
-            wf = wf.localCheckpoint()
+            wf = wf.localCheckpoint(eager=False)  # next argmax job
+                                                  # materializes (r11)
     return merges
 
 

@@ -519,7 +519,10 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     specs = (part.select("p_brand", "p_type", "p_size").distinct()
              .withColumn("spec_id", F.row_number().over(
                  Window.orderBy("p_brand", "p_type", "p_size")))
-             .localCheckpoint())
+             # lazy (r11): the first broadcast build materializes the
+             # blocks in its own job; the eager count() job was pure
+             # dispatch (same lever as the CC/pagerank lazy cuts)
+             .localCheckpoint(eager=False))
     part_id = (part.join(F.broadcast(specs),
                          ["p_brand", "p_type", "p_size"])
                .select("p_partkey", "spec_id"))
