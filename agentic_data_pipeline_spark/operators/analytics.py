@@ -39,6 +39,19 @@ def _revenue() -> F.Column:
             .cast("double") / 10000.0)
 
 
+def _rev_c() -> F.Column:
+    """Per-row revenue product in exact cents² BIGINT — folded BEFORE the
+    fact exchange so two DECIMAL columns never cross the wire (guide
+    §2.3); SUM over it divides out to the same double as _revenue()
+    bit-for-bit (integer products, associative sum)."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+def _rev_sum() -> F.Column:
+    """SUM of the pre-folded per-row product, surfaced as DOUBLE."""
+    return F.sum("rev_c").cast("double") / 10000.0
+
+
 @op("q3_shipping_priority", oracle=f"""
     SELECT l_orderkey,
            {_O_REVENUE} AS revenue,
@@ -61,7 +74,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into orders, that join result (still fact-sized, so it stays
     partitioned) joins lineitem on the orderkey, aggregates on the same
     key, and the final ordering is TakeOrderedAndProject (k=10 heap per
-    partition + driver merge — no global sort even at 100 TB).
+    partition + driver merge — no global sort even at 100 TB). The
+    revenue product folds to ONE exact-cents BIGINT per row BEFORE the
+    lineitem exchange (two DECIMALs → 8 bytes; guide §2.3 — sum of
+    per-row integer products is associative, so results are
+    bit-identical; r11 interleaved A/B at sf10: 2.59 → 2.32 s,
+    probe_narrow_exchange.py).
     """
     cust = (load_table(spark, sf_dir, "customer")
             .filter(C("c_mktsegment") == "BUILDING")
@@ -71,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(C("l_shipdate") > F.lit("1998-07-01").cast("timestamp_ntz"))
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
+          .select("l_orderkey", _rev_c().alias("rev_c")))
     return (
         orders.join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
         # fact ⋈ fact: hint a shuffle hash join — Catalyst would broadcast
@@ -81,7 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver hazard at 100 TB; dims stay broadcast.
         .join(li.hint("shuffle_hash"), C("l_orderkey") == C("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_revenue().alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(C("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -118,6 +136,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     this AFTER shuffling the full fact table — the exchange is the
     scale bottleneck, the broadcasts are free (r11 interleaved A/B,
     results identical: sf10 7.38 s → 3.72 s; probe_q58_reorder.py).
+
+    r11 narrow-exchange pass (guide §2.3): the revenue product folds to
+    one BIGINT before the lineitem exchange and the n_name STRING never
+    crosses either exchange — the aggregate groups on the integer
+    c_nationkey (1:1 with n_name by construction) and the 5-row name
+    map re-attaches AFTER the agg as a broadcast. sf10 3.72 → 3.51 s,
+    rows identical (probe_narrow_exchange.py).
     """
     region = (load_table(spark, sf_dir, "region")
               .filter(C("r_name") == "ASIA").select("r_regionkey"))
@@ -127,26 +152,28 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     cust = (load_table(spark, sf_dir, "customer")
             .select("c_custkey", "c_nationkey")
-            .join(F.broadcast(asia_nations),
+            .join(F.broadcast(asia_nations.select("n_nationkey")),
                   C("c_nationkey") == C("n_nationkey"))
-            .select("c_custkey", "c_nationkey", "n_name"))
+            .select("c_custkey", "c_nationkey"))
     orders = (load_table(spark, sf_dir, "orders")
               .filter((C("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                       & (C("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
               .select("o_orderkey", "o_custkey")
               .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
-              .select("o_orderkey", "c_nationkey", "n_name"))
+              .select("o_orderkey", "c_nationkey"))
     supplier = (load_table(spark, sf_dir, "supplier")
                 .select("s_suppkey", "s_nationkey"))
     li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+          .select("l_orderkey", "l_suppkey", _rev_c().alias("rev_c")))
     return (
         li.join(orders, C("l_orderkey") == C("o_orderkey"))
         .join(F.broadcast(supplier),
               (C("l_suppkey") == C("s_suppkey"))
               & (C("c_nationkey") == C("s_nationkey")))
-        .groupBy("n_name")
-        .agg(_revenue().alias("revenue"))
+        .groupBy("c_nationkey")
+        .agg(_rev_sum().alias("revenue"))
+        .join(F.broadcast(asia_nations), C("c_nationkey") == C("n_nationkey"))
+        .select("n_name", "revenue")
     )
 
 
@@ -174,6 +201,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer+nation dims broadcast; the aggregation key is the customer —
     high-cardinality, so the agg shuffle is the sized-for-scale step and
     the final top-20 is TakeOrderedAndProject.
+
+    r11 narrow-exchange pass (guide §2.3/§3.1): the revenue product
+    folds to one BIGINT before the lineitem exchange, and the orderkey
+    join is hinted shuffle-hash — the date-windowed orders subtree is
+    FACT-sized (~3.8M rows at sf10, right under the 64 MB threshold),
+    so Catalyst's broadcast of it rebuilt a multi-million-row driver
+    hash map per execution and is exactly the shape that dies at
+    100 TB (same rule as q3/q9/q12). sf10 3.60 → 2.53 s, rows
+    identical (probe_narrow_exchange.py).
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey")
@@ -184,13 +220,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "o_custkey"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(C("l_returnflag") == "R")
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
+          .select("l_orderkey", _rev_c().alias("rev_c")))
     return (
-        li.join(orders, C("l_orderkey") == C("o_orderkey"))
+        li.join(orders.hint("shuffle_hash"), C("l_orderkey") == C("o_orderkey"))
         .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
         .join(F.broadcast(nation), C("c_nationkey") == C("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_revenue().alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(C("revenue").desc(), "c_custkey")
         .limit(20)
@@ -337,40 +373,53 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     full fact rows and applied every role cut after (r11 interleaved
     A/B, results identical: sf10 4.95 s → 2.56 s, ~2x in every pass;
     probe_q58_reorder.py).
+
+    r11 narrow-exchange pass (guide §2.3): the revenue product and the
+    ship year fold to BIGINTs before the lineitem exchange, and the two
+    nation-name STRINGS cross both exchanges as 1-byte role codes
+    (1 = NATION_1, 2 = NATION_2 — a bijection by construction of the
+    2-row filter); the names are re-derived from the codes AFTER the
+    aggregate as a deterministic CASE. sf10 2.39 → 1.89 s, rows
+    identical (probe_narrow_exchange.py).
     """
     nation = load_table(spark, sf_dir, "nation").filter(
         C("n_name").isin("NATION_1", "NATION_2"))
-    n1 = nation.select(C("n_nationkey").alias("s_nkey"),
-                       C("n_name").alias("supp_nation"))
-    n2 = nation.select(C("n_nationkey").alias("c_nkey"),
-                       C("n_name").alias("cust_nation"))
+    code = F.when(C("n_name") == "NATION_1", F.lit(1)).otherwise(F.lit(2)) \
+        .cast("tinyint")
+    n1 = nation.select(C("n_nationkey").alias("s_nkey"), code.alias("s_code"))
+    n2 = nation.select(C("n_nationkey").alias("c_nkey"), code.alias("c_code"))
     supp = (load_table(spark, sf_dir, "supplier")
             .select("s_suppkey", "s_nationkey")
             .join(F.broadcast(n1), C("s_nationkey") == C("s_nkey"))
-            .select("s_suppkey", "supp_nation"))
+            .select("s_suppkey", "s_code"))
     cust = (load_table(spark, sf_dir, "customer")
             .select("c_custkey", "c_nationkey")
             .join(F.broadcast(n2), C("c_nationkey") == C("c_nkey"))
-            .select("c_custkey", "cust_nation"))
+            .select("c_custkey", "c_code"))
     orders = (load_table(spark, sf_dir, "orders")
               .select("o_orderkey", "o_custkey")
               .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
-              .select("o_orderkey", "cust_nation"))
+              .select("o_orderkey", "c_code"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((C("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                   & (C("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
-          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-                  "l_shipdate")
+          .select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").cast("bigint").alias("l_year"),
+                  _rev_c().alias("rev_c"))
           .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
-          .select("l_orderkey", "l_extendedprice", "l_discount",
-                  "l_shipdate", "supp_nation"))
+          .select("l_orderkey", "l_year", "rev_c", "s_code"))
+
+    def to_name(c: str) -> F.Column:
+        return F.when(C(c) == 1, "NATION_1").otherwise("NATION_2")
+
     return (
         li.join(orders, C("l_orderkey") == C("o_orderkey"))
-        .filter(((C("supp_nation") == "NATION_1") & (C("cust_nation") == "NATION_2"))
-                | ((C("supp_nation") == "NATION_2") & (C("cust_nation") == "NATION_1")))
-        .groupBy("supp_nation", "cust_nation",
-                 F.year("l_shipdate").cast("bigint").alias("l_year"))
-        .agg(_revenue().alias("revenue"))
+        .filter(((C("s_code") == 1) & (C("c_code") == 2))
+                | ((C("s_code") == 2) & (C("c_code") == 1)))
+        .groupBy("s_code", "c_code", "l_year")
+        .agg(_rev_sum().alias("revenue"))
+        .select(to_name("s_code").alias("supp_nation"),
+                to_name("c_code").alias("cust_nation"), "l_year", "revenue")
     )
 
 

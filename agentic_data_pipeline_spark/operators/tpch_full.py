@@ -178,12 +178,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     them map-side shrinks BOTH sides of the exchange — the old shape
     shuffled the full 60M-row fact first and dropped 5/6 of it after
     (r11 interleaved A/B, results identical: sf10 8.47 s → 3.03 s;
-    probe_q58_reorder.py). The supplier-nation name also attaches
-    pre-shuffle, so the exchange carries (orderkey, rev cents, name) and
-    nothing joins after it. The share is a conditional-sum / total-sum
+    probe_q58_reorder.py). The share is a conditional-sum / total-sum
     ratio computed in one hash-agg pass over exact cents, so the division
     is the only floating step and it divides identical BIGINT-derived
     doubles in both engines.
+
+    r11 narrow-exchange pass (guide §2.3): the revenue product folds to
+    one BIGINT and the supplier-nation name to an is-NATION_1 BOOLEAN
+    (a 1-row broadcast left join against the name-filtered nation key)
+    BEFORE the lineitem exchange; the orders side ships the year BIGINT
+    instead of the timestamp. The exchange carries (orderkey, rev_c,
+    is_n1) ≈ 17 B/row instead of (orderkey, 2 DECIMALs, STRING) ≈ 40.
+    sf10 2.49 → 2.22 s, rows identical (probe_narrow_exchange.py).
     """
     region = (load_table(spark, sf_dir, "region")
               .filter(C("r_name") == "ASIA").select("r_regionkey"))
@@ -199,29 +205,30 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(C("p_type") == "STANDARD").select("p_partkey"))
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey")
-    supp_nation = nation.select(C("n_nationkey").alias("sn_nkey"),
-                                C("n_name").alias("supp_nation"))
+    n1key = (nation.filter(C("n_name") == "NATION_1")
+             .select(C("n_nationkey").alias("sn_nkey")))
     orders = (load_table(spark, sf_dir, "orders")
               .filter((C("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                       & (C("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
               .select("o_orderkey", "o_custkey", "o_orderdate")
               .join(F.broadcast(cust), C("o_custkey") == C("c_custkey"))
-              .select("o_orderkey", "o_orderdate"))
+              .select("o_orderkey",
+                      F.year("o_orderdate").cast("bigint").alias("o_year")))
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey", "l_suppkey",
-                  "l_extendedprice", "l_discount")
+                  (cents("l_extendedprice")
+                   * (100 - cents("l_discount"))).alias("rev_c"))
           .join(F.broadcast(part), C("l_partkey") == C("p_partkey"))
           .join(F.broadcast(supp), C("l_suppkey") == C("s_suppkey"))
-          .join(F.broadcast(supp_nation), C("s_nationkey") == C("sn_nkey"))
-          .select("l_orderkey", "l_extendedprice", "l_discount",
-                  "supp_nation"))
-    rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
-    nation_c = F.when(C("supp_nation") == "NATION_1", rev_c).otherwise(F.lit(0))
+          .join(F.broadcast(n1key), C("s_nationkey") == C("sn_nkey"), "left")
+          .select("l_orderkey", "rev_c",
+                  C("sn_nkey").isNotNull().alias("is_n1")))
+    nation_c = F.when(C("is_n1"), C("rev_c")).otherwise(F.lit(0))
     return (
         li.join(orders, C("l_orderkey") == C("o_orderkey"))
-        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .groupBy("o_year")
         .agg((F.sum(nation_c).cast("double")
-              / F.sum(rev_c).cast("double")).alias("mkt_share"))
+              / F.sum("rev_c").cast("double")).alias("mkt_share"))
     )
 
 
@@ -258,6 +265,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf3 A/B: 3.26 s broadcast → 1.90 s shuffle-hash, identical rows).
     Profit is a single BIGINT expression in cents^2 fixed point per row,
     summed exactly — subtraction inside the SUM keeps one aggregate pass.
+
+    r11 narrow-exchange pass (guide §2.3): ALL dims now attach BEFORE
+    the orderkey exchange (supplier/nation used to join after it) and
+    the profit expression folds map-side, so the exchange carries
+    (orderkey, nationkey, profit_c4) ≈ 20 B/row instead of six 8-byte
+    columns ≈ 48; the aggregate groups on the integer nationkey and the
+    25-row name map re-attaches AFTER it as a broadcast. sf10
+    2.75 → 2.60 s, rows identical (probe_narrow_exchange.py) — the
+    residual vs the twin stays the exchange dispatch tax decomposed in
+    BASELINE.md (r10 q9 exoneration), now on 2.4× fewer bytes.
     """
     part = (load_table(spark, sf_dir, "part")
             .filter(C("p_name").like("%widget%"))
@@ -268,18 +285,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", C("n_name").alias("nation"))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_extendedprice", "l_discount", "l_quantity")
     profit_c4 = (cents("l_extendedprice") * (100 - cents("l_discount"))
                  - cents("p_retailprice") * cents("l_quantity"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount", "l_quantity")
+          .join(F.broadcast(part), C("p_partkey") == C("l_partkey"))
+          .join(F.broadcast(supp), C("s_suppkey") == C("l_suppkey"))
+          .select("l_orderkey", C("s_nationkey").alias("nkey"),
+                  profit_c4.alias("profit_c4")))
     return (
-        li.join(F.broadcast(part), C("p_partkey") == C("l_partkey"))
-        .join(orders.hint("shuffle_hash"), C("o_orderkey") == C("l_orderkey"))
-        .join(F.broadcast(supp), C("s_suppkey") == C("l_suppkey"))
-        .join(F.broadcast(nation), C("s_nationkey") == C("n_nationkey"))
-        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg((F.sum(profit_c4).cast("double") / 10000.0).alias("profit"))
+        li.join(orders.hint("shuffle_hash"), C("o_orderkey") == C("l_orderkey"))
+        .groupBy("nkey", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((F.sum("profit_c4").cast("double") / 10000.0).alias("profit"))
+        .join(F.broadcast(nation), C("nkey") == C("n_nationkey"))
+        .select("nation", "o_year", "profit")
     )
 
 
@@ -355,15 +375,19 @@ def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: date filter pushes to the lineitem scan; the orderkey join is the
     one shuffle; the output is 2 groups so map-side partials collapse the
     agg to nothing. The CASE buckets evaluate post-join in the same
-    codegen stage as the join probe.
+    codegen stage as the join probe. The priority STRING folds to the
+    `high` BOOLEAN BEFORE the orders-side exchange (guide §2.3 — the
+    aggregate only ever tests membership in the high set, so ~10 bytes
+    of string per row never cross the wire; sf10 2.02 → 1.94 s, rows
+    identical, probe_narrow_exchange.py).
     """
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority")
+        "o_orderkey", "o_orderdate",
+        C("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((C("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
                   & (C("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
           .select("l_orderkey", "l_shipdate"))
-    high = C("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         # orders is fact-sized: shuffle hash, never broadcast (measured
         # at sf1: 1.1 s → 0.5 s; broadcast of a fact subtree is a driver
@@ -375,8 +399,8 @@ def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
                            > C("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
                            "SLOW").otherwise("FAST"))
         .groupBy("ship_speed")
-        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .agg(F.sum(F.when(C("high"), 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~C("high"), 1).otherwise(0)).alias("low_line_count"))
     )
 
 

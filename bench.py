@@ -117,14 +117,21 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r11c"  # r11c: lazy per-round lineage cuts in both CC loops
-                     # (probe_cc_lazy.py — min-label 2.22->2.13, star
-                     # 4.81->4.52 at sf0.1, rows identical). Supersedes
-                     # r11b (q5/q7/q8 dim cuts moved BEFORE the orderkey
-                     # exchange: sf10 mins 7.38->3.72 / 4.95->2.56 /
-                     # 8.47->3.03, probe_q58_reorder.py; no r11b bench row
-                     # was ever recorded) which superseded r11a (lazy
-                     # pagerank cuts) and r10 (bloom ratchet + q16 pin).
+PERF_EPOCH = "r11d"  # r11d: narrow-exchange pass on q3/q5/q7/q8/q9/q10/
+                     # q12 — revenue/profit products fold to one BIGINT
+                     # and 1:1 strings to integer codes BEFORE the fact
+                     # exchange, q9's supplier/nation dims move to the
+                     # map side, q10's fact-sized orders side gets the
+                     # shuffle-hash hint (probe_narrow_exchange.py, sf10
+                     # mins: q3 2.59->2.32, q5 3.72->3.51, q7 2.39->1.89,
+                     # q8 2.49->2.22, q9 2.75->2.60, q10 3.60->2.53,
+                     # q12 2.02->1.94; rows identical). Supersedes r11c
+                     # (lazy CC cuts: min-label 2.22->2.13, star
+                     # 4.81->4.52 at sf0.1), r11b (q5/q7/q8 dim cuts
+                     # moved pre-exchange: sf10 7.38->3.72 / 4.95->2.56 /
+                     # 8.47->3.03; q4/q21 order-grain exchanges), r11a
+                     # (lazy pagerank cuts) and r10 (bloom ratchet + q16
+                     # pin).
 
 WARMUP_PASSES = int(os.environ.get("SPARK_GRAFT_WARMUP", "2"))
 TIMED_RUNS = 3
