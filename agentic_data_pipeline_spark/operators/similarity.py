@@ -374,9 +374,14 @@ def ext_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         C("vec_id").alias("query_id"), C("embedding").alias("qv"),
         l2_norm(C("embedding")).alias("qn"),
     )
-    sim = dot(C("embedding"), C("qv")) / (l2_norm(C("embedding")) * C("qn"))
+    # Corpus norm computed ONCE per vector below the join, not per
+    # (vector, query) pair above it — with Q queries the post-join form
+    # folds each embedding Q extra times for the same double (r11).
+    corpus = emb.select("vec_id", "embedding",
+                        l2_norm(C("embedding")).alias("en"))
+    sim = dot(C("embedding"), C("qv")) / (C("en") * C("qn"))
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        corpus.crossJoin(F.broadcast(queries))
         .filter(C("vec_id") != C("query_id"))
         .select(
             "query_id",

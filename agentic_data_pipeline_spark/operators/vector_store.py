@@ -163,8 +163,11 @@ def ext_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = codes.filter(C("vec_id").isin(0, 1, 2)).select(
         C("vec_id").alias("query_id"), C("q").alias("qq"),
         l2_norm(C("q")).alias("qn"))
-    sim = dot(C("q"), C("qq")) / (l2_norm(C("q")) * C("qn"))
-    scored = (codes.crossJoin(F.broadcast(queries))
+    # Corpus norm once per vector below the join (not per pair) — same
+    # double, Q× less fold work (r11; mirrors ext_similarity_topk).
+    corpus = codes.select("vec_id", "q", l2_norm(C("q")).alias("en"))
+    sim = dot(C("q"), C("qq")) / (C("en") * C("qn"))
+    scored = (corpus.crossJoin(F.broadcast(queries))
               .filter(C("vec_id") != C("query_id"))
               .select("query_id", C("vec_id").alias("neighbor_id"),
                       _trunc6(sim).alias("sim")))
