@@ -442,20 +442,30 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly share of promo-part revenue — the
     conditional-aggregate ratio over a fact↔dim join.
 
-    Plan: part broadcasts (dim), the date filter prunes lineitem at the
-    scan, and both the conditional and total sums run in the same hash
-    aggregate pass in exact cents — the ratio divides two exactly-derived
-    doubles, so it hash-matches DuckDB bit-for-bit.
+    Plan (r11): the date filter prunes lineitem at the scan, and both
+    the conditional and total sums run in the same hash aggregate pass
+    in exact cents — the ratio divides two exactly-derived doubles, so
+    it hash-matches DuckDB bit-for-bit. The part join exists only to
+    derive the is-PROMO flag, and l_partkey is a foreign key into part
+    (TPC-H referential integrity; the scaled lakes shift both key
+    columns identically, so it holds at every tier) — the inner join
+    can never drop or duplicate a lineitem row. So broadcast ONLY the
+    PROMO partkeys (~1/6 of part) and flag by left-join match instead
+    of shipping every (p_partkey, p_type) pair: the broadcast build
+    shrinks 6× and loses its string column at any scale. Measured sf10
+    decomposition: scan+agg 0.60 s, +full-part broadcast 1.66 s,
+    +promo-subset left join 0.86 s (rows identical, probe_q14_promo.py).
     """
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = (load_table(spark, sf_dir, "part")
+             .filter(C("p_type") == "PROMO").select("p_partkey"))
     li = (load_table(spark, sf_dir, "lineitem")
           .filter((C("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
                   & (C("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
           .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate"))
     rev_c = cents("l_extendedprice") * (100 - cents("l_discount"))
-    promo_c = F.when(C("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+    promo_c = F.when(C("p_partkey").isNotNull(), rev_c).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), C("l_partkey") == C("p_partkey"))
+        li.join(F.broadcast(promo), C("l_partkey") == C("p_partkey"), "left")
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             (F.sum(promo_c).cast("double") * 100.0

@@ -115,6 +115,13 @@ def test_q14_q19_part_broadcasts_and_pushdown(spark):
         p = plan_of(spark, op_id)
         assert "BroadcastHashJoin" in p, op_id          # part is a dim
         assert "SortMergeJoin" not in p, op_id
+    # r11: q14's build side is the PROMO subset (flag-by-left-join-match,
+    # FK-safe), not the full (p_partkey, p_type) dim — the p_type
+    # equality must reach the part scan as a pushed filter.
+    p14 = plan_of(spark, "q14_promo_revenue")
+    assert "LeftOuter" in p14
+    assert "EqualTo(p_type,PROMO)" in p14.split("part.parquet")[0] \
+        or "EqualTo(p_type,PROMO)" in p14
     # Q19's single-side residues of the OR reach the part scan as a filter.
     p19 = plan_of(spark, "q19_disjunctive_filter")
     assert "Or(" in p19.split("PushedFilters")[1][:400]
