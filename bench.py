@@ -117,7 +117,12 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r11d"  # r11d: narrow-exchange pass on q3/q5/q7/q8/q9/q10/
+PERF_EPOCH = "r11e"  # r11e: corpus norm below the batch-query joins
+                     # (ext_similarity_topk sf10 5.26->3.86, ext_ann_int8
+                     # 5.69->4.46; probe_simtopk_norm.py) and q14's
+                     # promo-subset broadcast flag join (sf10 1.83->0.84;
+                     # probe_q14_promo.py). Supersedes:
+                     # r11d: narrow-exchange pass on q3/q5/q7/q8/q9/q10/
                      # q12 — revenue/profit products fold to one BIGINT
                      # and 1:1 strings to integer codes BEFORE the fact
                      # exchange, q9's supplier/nation dims move to the
