@@ -67,121 +67,33 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # ordering is GENERATED each round by
 # `python scripts/evidence_rotation.py --priority` (r8 verdict items 2-3:
 # FUNCTION-granular staleness via git log -L): ops whose own def changed
-# after their last driver row lead (r10 head: the contract-folded
-# ext_word2vec_train needs its first oracle row and q16's spec-map pin
-# needs fresh hash evidence, then the r2-cohort file-stale ops), then
+# after their last driver row lead (r11 head: the 17 ops the r11
+# optimization rewrites touched — narrow exchanges, dim-cut reorders,
+# lazy cuts, the norm/q14 broadcast fixes — then the ≤r5-evidence
+# cohort: q1_pricing_summary's newest row is r01, the temporal family
+# r03), then
 # ops whose FILE changed around an unchanged def, then fresh ops by
 # evidence age; driver-hidden ops sit at the tail
 # so the budget window is spent entirely on oracle-checkable rows
 # (scripts/driver_preflight.py asserts this).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ext_word2vec_train",
-    "q16_part_supplier_counts",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_math_funcs",
-    "q_project",
-    "q_regex_filter",
-    "q_rollup",
-    "q_str_funcs",
-    "q_topk",
-    "q_tumble",
-    "q_union",
-    "read_bronze",
-    "rule_remove_outliers",
-    "serve_csv",
-    "serve_json",
-    "sql_exec",
-    "stream_join",
-    "stream_sessionize",
-    "stream_tumble",
-    "vector_search",
-    "viz_bar",
-    "write_bronze",
-    "ext_corpus_stats",
-    "ext_resize",
-    "ext_sample_stratified",
-    "ext_train_val_split",
-    "q11_important_parts",
-    "q20_promotion_suppliers",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q_exists",
-    "q_grouping_sets",
-    "q_json_funcs",
-    "q_lateral",
-    "stream_dedup_watermark",
-    "stream_sliding",
-    "stream_stream_join",
-    "ext_bucketed_join",
-    "ext_cdc_changelog",
-    "ext_dedup_containment",
-    "ext_dedup_ngram",
-    "ext_knn_graph",
-    "ext_pseudonymize",
-    "ext_rare_bigrams",
-    "ext_repetition",
-    "stream_upsert",
-    "ext_dedup_clusters_bounded",
-    "ext_quality_classifier",
-    "ext_ann_ivf",
-    "ext_ann_lsh",
-    "ext_ann_pq",
-    "ext_audio_dedup_fingerprint",
-    "ext_audio_features",
-    "ext_bm25_search",
-    "ext_contrastive_triplets",
-    "ext_decontaminate_embedding",
-    "ext_dedup_components_star",
-    "ext_dedup_incremental_fuzzy",
-    "ext_dedup_minhash_md5",
-    "ext_dedup_simhash_md5",
-    "ext_dedup_substring",
-    "ext_embed_word2vec",
-    "ext_heavy_hitters",
-    "ext_hybrid_search",
-    "ext_image_dedup_ahash",
-    "ext_k_anonymity",
+    "ext_ann_int8",
     "ext_knn_graph_derived",
     "ext_pagerank",
-    "ext_resize_png",
-    "ext_similarity_topk_batch",
-    "ext_triangle_count",
-    "ext_video_dedup_scenehash",
-    "ext_video_frames",
-    "ext_vocab_coverage",
-    "ext_bpe_encode",
-    "ext_bpe_merges",
-    "ext_diversity_sample",
-    "ext_fingerprint",
-    "ext_group_topk",
-    "ext_html_strip",
-    "ext_lang_id",
-    "ext_ngram_freq",
-    "ext_quality_score",
-    "ext_salted_join",
-    "ext_text_stats",
-    "ext_tfidf",
-    "ext_token_count",
-    "merge_upsert",
+    "ext_training_prep_pipeline",
     "q10_returned_items",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
     "q21_waiting_suppliers",
     "q3_shipping_priority",
     "q4_late_shipments",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q9_product_profit",
-    "ext_gopher_filters",
-    "ext_inverted_index",
+    "ext_semdedup_contract",
+    "ext_similarity_topk",
     "q12_priority_by_delay",
-    "q13_order_distribution",
-    "q2_min_cost_supplier",
+    "q16_part_supplier_counts",
+    "q8_market_share",
     "q1_pricing_summary",
     "ext_asof_join",
     "ext_funnel",
@@ -213,9 +125,32 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_lm_score_holdout",
     "ext_shard_assign",
     "ingest_xml",
-    "ext_ann_int8",
-    "ext_drift_psi",
+    "ext_ann_ivf",
+    "ext_ann_lsh",
+    "ext_ann_pq",
+    "ext_audio_dedup_fingerprint",
+    "ext_audio_features",
+    "ext_bm25_search",
+    "ext_contrastive_triplets",
+    "ext_decontaminate_embedding",
+    "ext_dedup_components_star",
+    "ext_dedup_incremental_fuzzy",
+    "ext_dedup_minhash_md5",
+    "ext_dedup_simhash_md5",
+    "ext_dedup_substring",
+    "ext_embed_word2vec",
     "ext_embedding_quantize",
+    "ext_heavy_hitters",
+    "ext_hybrid_search",
+    "ext_image_dedup_ahash",
+    "ext_k_anonymity",
+    "ext_resize_png",
+    "ext_similarity_topk_batch",
+    "ext_triangle_count",
+    "ext_video_dedup_scenehash",
+    "ext_video_frames",
+    "ext_vocab_coverage",
+    "ext_drift_psi",
     "ext_expectations",
     "ext_hll_rollup",
     "ext_partition_evolution",
@@ -229,37 +164,59 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_fuzzy",
     "stream_quality_gate",
     "stream_stream_join_outer",
+    "ext_bpe_encode",
+    "ext_bpe_merges",
     "ext_chunk_overlap",
-    "ext_compact_files",
     "ext_curation_pipeline",
     "ext_decontaminate",
     "ext_dedup_components",
     "ext_dedup_exact",
-    "ext_dedup_incremental",
     "ext_dedup_passage",
     "ext_dedup_resolve",
+    "ext_diversity_sample",
     "ext_docs_to_chunks",
     "ext_dp_histogram",
+    "ext_fingerprint",
+    "ext_group_topk",
+    "ext_html_strip",
+    "ext_lang_id",
+    "ext_ngram_freq",
+    "ext_pack_sequences",
+    "ext_pii_redact",
+    "ext_quality_score",
+    "ext_salted_join",
+    "ext_text_stats",
+    "ext_tfidf",
+    "ext_token_count",
+    "merge_upsert",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "ext_compact_files",
+    "ext_dedup_incremental",
     "ext_entropy",
     "ext_frame_sample",
     "ext_latest_by_key",
     "ext_multimodal",
-    "ext_pack_sequences",
     "ext_pdf_corpus",
-    "ext_pii_redact",
     "ext_pmi_bigrams",
-    "ext_training_prep_pipeline",
-    "ext_data_profile",
     "ext_dedup_embedding",
-    "ext_domain_mix",
     "ext_dp_mean",
-    "ext_histogram_rollup",
+    "ext_gopher_filters",
+    "ext_inverted_index",
     "ext_k_anonymity_enforce",
     "ext_kmeans_clusters",
     "ext_knn_graph_batch",
+    "q13_order_distribution",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "vector_index",
+    "vector_search_batch",
+    "ext_data_profile",
+    "ext_domain_mix",
+    "ext_histogram_rollup",
     "ext_scd2_history",
-    "ext_semdedup_contract",
-    "ext_similarity_topk",
     "ext_topic_model",
     "ext_zorder_cluster",
     "ingest_csv",
@@ -272,7 +229,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "nl_fallback",
     "nl_transform",
     "preview",
-    "q22_dormant_customers",
     "q_agg",
     "q_array_funcs",
     "q_case_when",
@@ -292,8 +248,54 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rule_top_performers",
     "stream_dedup",
     "stream_to_bronze",
-    "vector_index",
-    "vector_search_batch",
+    "ext_dedup_clusters_bounded",
+    "ext_dedup_containment",
+    "ext_dedup_ngram",
+    "ext_knn_graph",
+    "ext_pseudonymize",
+    "ext_quality_classifier",
+    "ext_repetition",
+    "ext_word2vec_train",
+    "q11_important_parts",
+    "q20_promotion_suppliers",
+    "q6_forecast_revenue",
+    "vector_search",
+    "ext_bucketed_join",
+    "ext_cdc_changelog",
+    "ext_corpus_stats",
+    "ext_rare_bigrams",
+    "ext_resize",
+    "ext_sample_stratified",
+    "ext_train_val_split",
+    "q_exists",
+    "q_grouping_sets",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_json_funcs",
+    "q_lateral",
+    "q_math_funcs",
+    "q_project",
+    "q_regex_filter",
+    "q_rollup",
+    "q_str_funcs",
+    "q_topk",
+    "q_tumble",
+    "q_union",
+    "read_bronze",
+    "rule_remove_outliers",
+    "serve_csv",
+    "serve_json",
+    "sql_exec",
+    "stream_dedup_watermark",
+    "stream_join",
+    "stream_sessionize",
+    "stream_sliding",
+    "stream_stream_join",
+    "stream_tumble",
+    "stream_upsert",
+    "viz_bar",
+    "write_bronze",
     "ext_dedup_minhash",
     "ext_dedup_simhash",
     "ext_dedup_minhash_clusters",
