@@ -812,7 +812,8 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 25,
                          stats: dict | None = None,
-                         eager_cuts: bool = False) -> DataFrame:
+                         eager_cuts: bool = False,
+                         check_every: int = 1) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     ``vertices``: one column ``id``; ``edges``: columns ``s``, ``t``
@@ -836,6 +837,16 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     anyway (the same lever as pagerank's lazy cuts, graph.py; labels are
     bit-identical — only job scheduling changes). Interleaved A/B:
     scripts/probe_cc_lazy.py.
+
+    ``check_every`` (r12, verdict item 2): run the convergence collect()
+    only every Nth round — labels are monotone non-increasing per vertex,
+    so equal sums N rounds apart still imply every intervening round was
+    a no-op (exact detection, bit-identical labels). The trade: N-1 fewer
+    driver-synced jobs per N rounds, against up to N-1 extra (no-op, but
+    still shuffled) rounds when convergence lands between checks.
+    Measured at N=2 (scripts/probe_cc_check_every.py): the extra shuffle
+    round costs more than the saved sync at every tested tier, so the
+    default stays 1; the knob is the committed evidence.
     """
     def cut(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=eager_cuts)
@@ -866,6 +877,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                     .alias("comp"))
         )
         rounds += 1
+        if rounds % max(1, check_every) != 0:
+            continue  # skip this round's driver sync; see check_every note
         s = comp.agg(F.sum("comp")).collect()[0][0]
         if s == prev_sum:
             break
@@ -878,7 +891,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 def connected_components_star(vertices: DataFrame, edges: DataFrame,
                               max_iter: int = 50,
                               stats: dict | None = None,
-                              eager_cuts: bool = False) -> DataFrame:
+                              eager_cuts: bool = False,
+                              check_every: int = 1) -> DataFrame:
     """Connected components by large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC 2014) — the O(log n)-round algorithm for graphs whose diameter
@@ -939,6 +953,11 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
                 .filter(C("a") != C("b"))
                 .distinct())
         rounds += 1
+        if rounds % max(1, check_every) != 0:
+            continue  # skip this round's driver sync (see the min-label
+            #           loop's check_every note: the edge multiset is a
+            #           monotone potential, so equal signatures N rounds
+            #           apart still detect the fixpoint exactly)
         # Decimal(38,0) sums: the xxhash64 sum overflows BIGINT under
         # ANSI mode after a handful of rows; decimal accumulation is
         # exact and order-independent.

@@ -412,6 +412,122 @@ def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double") / 100.0).alias("total_value")))
 
 
+def _prep_kept_batches(it):
+    """mapInArrow body for ext_training_prep_pipeline's scored→kept
+    front-end: (doc_id, text) batches in, (doc_id, n_tokens, fp) batches
+    of the quality survivors out. Value-identity with the Catalyst form
+    (_prep_kept_jvm), step by step:
+
+    - normalize: utf8_lower → RE2 '[^a-z0-9]+'→' ' → trim → split. RE2
+      is the SAME regex engine the DuckDB oracle runs (regexp_replace
+      'g'), and the corpus is pure printable ASCII
+      (tests/test_lake_robustness.py pins it), so Java/RE2 lower() and
+      \\s agree by construction.
+    - md5 bucket per DISTINCT word per batch (dictionary_encode), not
+      per token: md5 is pure, so hashing each distinct word once and
+      fanning out through the dictionary indices is value-identical —
+      and on any Zipfian corpus the per-batch dictionary is tiny
+      relative to the token stream. This is memoization inside one
+      execution, never across runs.
+    - score = (sum_bigint.as_double / n - 500.0) / 500.0 in the same
+      left-to-right IEEE order as the Catalyst tree → bit-identical.
+    - fp = md5(lower(\\s+→' ' collapse)) for survivors only.
+
+    Bit-identity is pinned by tests/test_prep_arrow.py (full kept-set
+    equality vs _prep_kept_jvm) and was asserted at sf0.1 AND sf10
+    (472,100 rows) by scripts/probe_prep_arrow.py before shipping."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bucket_cache: dict[str, int] = {}
+
+    def bucket(w: str) -> int:
+        b = bucket_cache.get(w)
+        if b is None:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 1001
+            bucket_cache[w] = b
+        return b
+
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("fp", pa.string()),
+    ])
+    for batch in it:
+        doc_id = batch.column("doc_id")
+        text = batch.column("text")
+        if text.null_count:
+            # Spark: size(split(null)) is null → dropped by the filter;
+            # '' gives n=0 → dropped here the same way.
+            text = pc.fill_null(text, "")
+        low = pc.utf8_lower(text)
+        norm = pc.replace_substring_regex(
+            low, pattern="[^a-z0-9]+", replacement=" ")
+        trimmed = pc.utf8_trim(norm, " ")
+        # Post-replace the string is [a-z0-9 ]* with single spaces (the +
+        # collapses runs), so a plain space split IS the \s+ split.
+        words = pc.split_pattern(trimmed, " ")
+        lengths = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dwords = enc.dictionary.to_pylist()
+        dbuck = np.fromiter((bucket(w) for w in dwords), dtype=np.int64,
+                            count=len(dwords))
+        tok = dbuck[idx] if len(idx) else np.zeros(0, dtype=np.int64)
+        cs = np.concatenate(([0], np.cumsum(tok)))
+        ends = np.cumsum(lengths)
+        sums = cs[ends] - cs[ends - lengths]
+        n = lengths.copy()
+        # Whole-empty docs: split('') yields [''] (length 1); the JVM
+        # filter(w != '') makes n 0 there. Mid-list '' tokens cannot occur.
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n[empty] = 0
+        sums[empty] = 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = (sums.astype(np.float64) / n - 500.0) / 500.0
+        keep = np.nonzero((score >= -0.04) & (n >= 10))[0]
+        if not len(keep):
+            continue
+        take = pa.array(keep)
+        collapsed = pc.replace_substring_regex(
+            text.take(take), pattern=r"\s+", replacement=" ")
+        lowered = pc.utf8_lower(collapsed)
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in lowered.to_pylist()]
+        yield pa.RecordBatch.from_arrays(
+            [doc_id.take(take).cast(pa.int64()),
+             pa.array(n[keep], type=pa.int64()),
+             pa.array(fps, type=pa.string())],
+            schema=out_schema)
+
+
+def _prep_kept_jvm(docs: DataFrame) -> DataFrame:
+    """The pure-Catalyst scored→kept twin of _prep_kept_batches — the r11
+    shipped form, kept as the equality reference (tests/test_prep_arrow.py
+    pins row-for-row identity every run) and as the fallback if the lake
+    ever leaves the printable-ASCII regime the Arrow form is pinned to."""
+    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
+    words = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
+    bucket = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)  # noqa: E731
+                        .cast("bigint") % 1001)
+    n = F.size(words).cast("bigint")
+    score = (F.aggregate(F.transform(words, bucket),
+                         F.lit(0).cast("bigint"), lambda a, x: a + x)
+             .cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
+        / F.lit(500.0)
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
+                        "utf-8"))
+    return (docs.select("doc_id", n.alias("n_tokens"), score.alias("score"),
+                        fp.alias("fp"))
+            .filter((C("score") >= -0.04) & (C("n_tokens") >= 10))
+            .select("doc_id", "n_tokens", "fp"))
+
+
 @op("ext_training_prep_pipeline", oracle=r"""
     WITH toks AS (
         SELECT doc_id, text,
@@ -457,39 +573,35 @@ def ext_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is ONE oracle query, so the driver hash-checks the
     pipeline — not just its stages.
 
-    Plan: classifier + fingerprint are map-only on the scan; dedup is the
-    one corpus shuffle — a min_by AGGREGATE on the fingerprint (same
-    survivor as the old row_number window: min doc_id), which map-side
-    combines and carries only (fp, doc_id, n_tokens) through the
-    exchange, where the r4 window shape shuffled every surviving row
-    WHOLE (document text included) and sorted each group. Honesty note
-    (r11 interleaved A/B, identical rows, probe_prep_minby.py): at sf10
-    this measures a WASH (44.6 vs 45.8 s) — the op is compute-bound on
-    the per-word md5 scoring, which both engines pay by construction;
-    the exchange-diet matters at real document sizes, not the fixture's
-    ~50-word rows. Kept for the scale shape: text never shuffles. The
-    shard stats aggregate is map-side combined. Threshold -0.04 sits just below the score distribution's
-    center so the filter genuinely drops docs at every SF (a 0-survivor
-    or all-survivor pipeline would make the check vacuous).
+    Plan: classifier + fingerprint are map-only on the scan — since r12
+    via ONE mapInArrow pass (_prep_kept_batches; guide §4.2): the
+    per-word md5 score fold, which the r11 decomposition measured at
+    ~70% of the op's sf10 wall, hashes each DISTINCT word per Arrow
+    batch (dictionary_encode) instead of every token, and the normalize
+    regexes run through RE2 — the same engine the oracle itself uses.
+    Output stays bit-identical to the Catalyst form (_prep_kept_jvm;
+    row-for-row equality pinned by tests/test_prep_arrow.py and asserted
+    on 472,100 sf10 rows in scripts/probe_prep_arrow.py — interleaved
+    A/B: sf10 32.2 → 7.31 s, sf0.1 0.64 → 0.39 s; this supersedes the
+    r11 unmeasured guide-§4.2 assumption that Python dispatch would eat
+    the win). Only (doc_id, text) crosses into Python and only
+    (doc_id, n_tokens, fp) comes back — the document text never crosses
+    an exchange, exactly as before.
+
+    Dedup is the one corpus shuffle — a min_by AGGREGATE on the
+    fingerprint (same survivor as the old row_number window: min
+    doc_id), map-side combined, carrying only (fp, doc_id, n_tokens).
+    The shard stats aggregate is map-side combined. Threshold -0.04
+    sits just below the score distribution's center so the filter
+    genuinely drops docs at every SF (a 0-survivor or all-survivor
+    pipeline would make the check vacuous).
     """
     from .sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(C("text")), "[^a-z0-9]+", " "))
-    words = F.filter(F.split(norm, r"\s+"), lambda t: t != "")
-    bucket = lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)  # noqa: E731
-                        .cast("bigint") % 1001)
-    n = F.size(words).cast("bigint")
-    score = (F.aggregate(F.transform(words, bucket),
-                         F.lit(0).cast("bigint"), lambda a, x: a + x)
-             .cast("double") / F.nullif(n, F.lit(0)) - F.lit(500.0)) \
-        / F.lit(500.0)
-    scored = docs.select("doc_id", "text", n.alias("n_tokens"),
-                         score.alias("score"))
-    kept = scored.filter((C("score") >= -0.04) & (C("n_tokens") >= 10))
-    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
-                        "utf-8"))
-    surv = (kept.groupBy(fp.alias("fp"))
+    kept = docs.select("doc_id", "text").mapInArrow(
+        _prep_kept_batches, "doc_id bigint, n_tokens bigint, fp string")
+    surv = (kept.groupBy("fp")
             .agg(F.min_by(F.struct("doc_id", "n_tokens"), C("doc_id"))
                  .alias("s")))
     return (surv.groupBy(hash_bucket(C("s.doc_id"), 16).alias("shard"))

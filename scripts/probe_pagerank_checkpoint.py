@@ -39,9 +39,16 @@ from agentic_data_pipeline_spark.registry import OPS, _ensure_loaded
 from agentic_data_pipeline_spark.session import get_spark
 
 C = F.col
+# r12 (verdict item 3): the r8 A/B ran under EAGER cuts; the r11 lazy-cut
+# default changes the economics (two rounds of lineage per barrier vs
+# one, and no per-round count() job either way), so the cadence question
+# is re-asked under eager_cuts=False — the shipped configuration. The
+# eager rows stay as the cross-session anchor.
 VARIANTS = {
     "local_e1": {"checkpoint_every": 1},
     "local_e2": {"checkpoint_every": 2},
+    "lazy_e1": {"checkpoint_every": 1, "eager_cuts": False},
+    "lazy_e2": {"checkpoint_every": 2, "eager_cuts": False},
     "disk_e1": {"checkpoint_every": 1,
                 "reliable_dir": os.path.join(REPO, ".tmp", "ckpt")},
 }

@@ -68,6 +68,17 @@ def main() -> None:
     n_fact = load_table(spark, SF_DIR, "lineitem").count()
     apply_scaled_shuffle(spark, n_fact)
 
+    # FK preflight (r11 verdict item 10): the rewrite's row-identity rests
+    # on l_partkey→part referential integrity. Fail loudly HERE, at
+    # load-probe time, if the lake ever violates it (the query path stays
+    # assumption-free; tests/test_lake_robustness.py pins the driver tiers).
+    orphans = (load_table(spark, SF_DIR, "lineitem").select("l_partkey")
+               .join(load_table(spark, SF_DIR, "part").select("p_partkey"),
+                     C("l_partkey") == C("p_partkey"), "left_anti").count())
+    assert orphans == 0, (
+        f"{orphans} lineitem rows violate the l_partkey→part FK — "
+        "q14's left-join-match flag is not equivalent here; revert it")
+
     a = sorted(map(tuple, q14_before(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q14_promo_revenue(spark, SF_DIR).collect()))
     assert a == b, "q14 variants differ"

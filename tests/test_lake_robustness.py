@@ -153,6 +153,33 @@ def test_documents_text_ascii_precondition():
         assert not nul, f"{sf}: {nul} trailing-NUL documents.text rows"
 
 
+def test_lineitem_part_fk_precondition():
+    """q14's promo-flag rewrite (analytics.py) is row-identical to its
+    declared inner join ONLY under l_partkey→part referential integrity
+    (r11 verdict "what's wrong" item 1). The TPC-H-shaped lakes satisfy
+    it by construction (replica key shifts apply to both sides), but the
+    invariant is data-dependent — so it must fail LOUDLY at load-probe
+    time on every tier the driver checks, not via an oracle hash
+    mismatch. If this test ever goes red, revert q14 to the inner join."""
+    import duckdb
+
+    con = duckdb.connect(database=":memory:")
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        li = f"/root/testdata/{sf}/lineitem.parquet"
+        pt = f"/root/testdata/{sf}/part.parquet"
+        if not (os.path.exists(li) and os.path.exists(pt)):
+            continue
+        orphans = con.execute(
+            f"SELECT count(*) FROM read_parquet('{li}') l "
+            f"WHERE l.l_partkey IS NULL OR l.l_partkey NOT IN "
+            f"(SELECT p_partkey FROM read_parquet('{pt}'))"
+        ).fetchone()[0]
+        assert orphans == 0, (
+            f"{sf}: {orphans} lineitem rows violate the l_partkey→part FK "
+            "— q14_promo_revenue's left-join-match flag is no longer "
+            "equivalent to the declared inner join; revert it")
+
+
 def test_stream_upsert_reads_nanos_lake(spark, tmp_path):
     """stream_upsert (split-dir write → streaming read → foreachBatch
     merges) must produce the identical final state from an INT64-nanos

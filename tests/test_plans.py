@@ -117,11 +117,17 @@ def test_q14_q19_part_broadcasts_and_pushdown(spark):
         assert "SortMergeJoin" not in p, op_id
     # r11: q14's build side is the PROMO subset (flag-by-left-join-match,
     # FK-safe), not the full (p_partkey, p_type) dim — the p_type
-    # equality must reach the part scan as a pushed filter.
+    # equality must reach the PART scan's PushedFilters specifically
+    # (r11 ADVICE: the old `in p14.split(...)[0] or in p14` form was a
+    # tautology that passed wherever the predicate appeared).
     p14 = plan_of(spark, "q14_promo_revenue")
     assert "LeftOuter" in p14
-    assert "EqualTo(p_type,PROMO)" in p14.split("part.parquet")[0] \
-        or "EqualTo(p_type,PROMO)" in p14
+    part_blocks = [b for b in p14.split("Location:")
+                   if "part.parquet" in b.splitlines()[0]]
+    assert part_blocks, "no part.parquet scan detail block in the plan"
+    assert any("EqualTo(p_type,PROMO)"
+               in b.split("PushedFilters:")[1].splitlines()[0]
+               for b in part_blocks if "PushedFilters:" in b)
     # Q19's single-side residues of the OR reach the part scan as a filter.
     p19 = plan_of(spark, "q19_disjunctive_filter")
     assert "Or(" in p19.split("PushedFilters")[1][:400]
