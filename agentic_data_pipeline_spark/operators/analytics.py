@@ -143,6 +143,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nationkey (1:1 with n_name by construction) and the 5-row name
     map re-attaches AFTER the agg as a broadcast. sf10 3.72 → 3.51 s,
     rows identical (probe_narrow_exchange.py).
+
+    r12 dispatch trim (verdict item 5): the post-agg name attach joins
+    plain `nation`, not the nation⋈region ASIA subtree — every
+    c_nationkey reaching the aggregate already passed through the
+    ASIA-customer cut, so the region re-filter was a provably-redundant
+    extra BroadcastExchange+BHJ build per run (rows identical by
+    construction, asserted in probe_q5_trim.py; n_nationkey is unique in
+    nation, so the inner join can neither drop nor duplicate).
     """
     region = (load_table(spark, sf_dir, "region")
               .filter(C("r_name") == "ASIA").select("r_regionkey"))
@@ -172,7 +180,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (C("c_nationkey") == C("s_nationkey")))
         .groupBy("c_nationkey")
         .agg(_rev_sum().alias("revenue"))
-        .join(F.broadcast(asia_nations), C("c_nationkey") == C("n_nationkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              C("c_nationkey") == C("n_nationkey"))
         .select("n_name", "revenue")
     )
 

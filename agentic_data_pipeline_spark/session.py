@@ -129,6 +129,28 @@ def scaled_shuffle_partitions(est_rows: int) -> int:
 # sf0.1's 600k regressed. At 100 TB this is always on.
 BLOOM_MIN_FACT_ROWS = 10_000_000
 
+# Scan-split open-cost floor for big declared volumes (r12, guide §6.1 /
+# §2.5 input skew): Spark sizes file splits by COMPRESSED bytes
+# (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+# bytes/defaultParallelism)), openCost default 4 MB) — a corpus table
+# whose text/vectors dictionary-compress 30×+ (documents at the growth
+# tiers: 500k rows in a 6 MB file) planwise "fits" in 1-2 splits while
+# carrying minutes of per-row compute, so 30 cores idle. Lowering the
+# open-cost floor lets bytes/cores actually produce per-core splits for
+# such files; big tables are unaffected (their bytes/cores term already
+# dominates: lineitem keeps its 32 splits either way). Like the bloom
+# ratchet this FOLLOWS DATA VOLUME: at the dispatch-bound sf0.1 tier
+# extra scan tasks are pure scheduling overhead (r11
+# probe_scan_minpartitions.py measured the wash), so the default stays
+# stock and the floor applies only past the declared-volume gate.
+# Measured (scripts/probe_scan_parallelism.py, sf10, interleaved min-of-3,
+# rows identical): prep 7.42→3.27 s, curation 24.2→12.5, chunks
+# 20.0→8.0, dedup_exact 3.67→1.63, text_stats 7.76→2.89. On a real
+# cluster the deployment sets its own split sizing; SPARK_GRAFT_EXTRA_CONFS
+# overrides this one like any other conf.
+SCAN_OPEN_COST_FLOOR_BYTES = 64 * 1024
+SCAN_FLOOR_MIN_FACT_ROWS = BLOOM_MIN_FACT_ROWS
+
 
 def apply_scaled_shuffle(spark: SparkSession, est_rows: int) -> int:
     """Set spark.sql.shuffle.partitions by the scaled rule; returns the
@@ -149,6 +171,15 @@ def apply_scaled_shuffle(spark: SparkSession, est_rows: int) -> int:
             spark.conf.set(
                 "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
             _BLOOM_RATCHETED = True  # tune() must not pin it back off
+        except Exception:
+            pass
+    # Scan-split open-cost floor (see SCAN_OPEN_COST_FLOOR_BYTES): past the
+    # volume gate, heavily-compressed corpus files stop being starved to
+    # 1-2 scan tasks. tune() never touches this conf, so no ratchet needed.
+    if est_rows >= SCAN_FLOOR_MIN_FACT_ROWS:
+        try:
+            spark.conf.set("spark.sql.files.openCostInBytes",
+                           str(SCAN_OPEN_COST_FLOOR_BYTES))
         except Exception:
             pass
     return parts

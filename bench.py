@@ -117,7 +117,16 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r11e"  # r11e: corpus norm below the batch-query joins
+PERF_EPOCH = "r12a"  # r12a: Arrow front-end for the training-prep
+                     # scored→kept pass (md5 per DISTINCT word per batch
+                     # via dictionary_encode + RE2 normalize; bit-identical,
+                     # probe_prep_arrow.py: sf10 32.2->7.31 s, sf0.1
+                     # 0.644->0.386) and the volume-gated scan-split
+                     # open-cost floor + v3 tier-lake row-group layout
+                     # (probe_scan_parallelism.py: corpus scans were
+                     # starved to 2-5 tasks at sf10; text family 2-2.7x).
+                     # Supersedes:
+                     # r11e: corpus norm below the batch-query joins
                      # (ext_similarity_topk sf10 5.26->3.86, ext_ann_int8
                      # 5.69->4.46; probe_simtopk_norm.py) and q14's
                      # promo-subset broadcast flag join (sf10 1.83->0.84;

@@ -80,6 +80,20 @@ if _ONLY:
     SET_VERSION = "v2sub"
 
 
+# Corpus tables get a bounded parquet row-group size (r12, guide §2.5
+# "fix input skew at the source" / §6.1): DuckDB's default 122,880-row
+# groups put 500k sf10 documents into FIVE row groups inside a 6 MB file
+# (the 31-word fixture vocabulary dictionary-compresses ~36×), and 200k
+# embeddings into TWO — capping BOTH engines' scan parallelism at 2-5
+# tasks under minutes of per-row compute. No real 100 TB corpus arrives
+# as one under-grouped file; bounding the row group restores the
+# many-row-group layout a scaled lake actually has. Both engines read
+# the same files, so the comparison stays symmetric (DuckDB parallelizes
+# across row groups exactly like Spark assigns them to splits). Facts
+# keep the default (they are byte-big enough to split on bytes alone).
+ROW_GROUP_ROWS = {"documents": 8192, "embeddings": 4096}
+
+
 def build_lake() -> None:
     import duckdb
 
@@ -87,16 +101,18 @@ def build_lake() -> None:
     marker = os.path.join(DST, ".built")
     fp = ";".join(
         f"{t}:{os.stat(os.path.join(SRC, t + '.parquet')).st_mtime_ns}"
-        for t in KEYS) + f"|v2|{REPLICAS}|{OFF}"
+        for t in KEYS) + f"|v3|{REPLICAS}|{OFF}"
     if os.path.isfile(marker) and open(marker).read() == fp:
         return
     con = duckdb.connect()
     for t, keys in KEYS.items():
         src = os.path.join(SRC, f"{t}.parquet")
         dst = os.path.join(DST, f"{t}.parquet")
+        rg = (f", ROW_GROUP_SIZE {ROW_GROUP_ROWS[t]}"
+              if t in ROW_GROUP_ROWS else "")
         if not keys:  # dimension tables don't scale (TPC-H semantics)
             con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) "
-                        f"TO '{dst}' (FORMAT PARQUET)")
+                        f"TO '{dst}' (FORMAT PARQUET{rg})")
             continue
         parts = []
         for r in range(REPLICAS):
@@ -117,7 +133,7 @@ def build_lake() -> None:
             parts.append("SELECT " + ", ".join(shifted)
                          + f" FROM read_parquet('{src}')")
         con.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}' "
-                    f"(FORMAT PARQUET)")
+                    f"(FORMAT PARQUET{rg})")
     with open(marker, "w") as f:
         f.write(fp)
 
