@@ -53,23 +53,108 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition UP to the session parallelism — only when
+    the plan's partitioning is below it (guide §2.5 input-skew fix: a
+    small-compressed single-file corpus scan yields 1-2 splits, and any
+    heavy per-row consumer downstream — 32 md5s per shingle in the LSH
+    constructions — then runs on 1-2 cores). At scale the scan already
+    meets the parallelism floor and this adds NOTHING to the plan; the
+    r8→r11 window shingle form was accidentally providing the same
+    redistribution via its partitionBy(id) exchange, which is why the
+    r12 Arrow generator regressed the sf0.1 LSH ops until this was put
+    back deliberately (probe_shingles_arrow.py before/after)."""
+    from ..session import default_parallelism
+
+    n = default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _shingle_batches(n: int):
+    """mapInArrow body factory for shingles_exploded: (id, text) batches
+    in, distinct (id, s) shingle rows out — generated per DOC, inside
+    one map pass, so neither the exploded token stream nor the shingle
+    stream ever needs an exchange. Shingle strings are byte-identical to
+    the JVM form's (RE2 '[^a-z0-9]+'→' ' == java.util.regex on the
+    printable-ASCII corpus the lake-robustness test pins; ' '.join over
+    the same token slices == concat_ws). Per-doc distinct is emitted
+    sorted so task retries reproduce identical row order."""
+    def gen(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        schema = pa.schema([pa.field("id", pa.int64()),
+                            pa.field("s", pa.string())])
+        for batch in it:
+            ids = batch.column("id").to_pylist()
+            text = batch.column("text")
+            if text.null_count:
+                text = pc.fill_null(text, "")  # null text → zero tokens
+            low = pc.utf8_lower(text)
+            norm = pc.replace_substring_regex(
+                low, pattern="[^a-z0-9]+", replacement=" ")
+            words = pc.split_pattern(norm, " ")
+            out_ids: list[int] = []
+            out_s: list[str] = []
+            for i, toks in enumerate(words.to_pylist()):
+                toks = [t for t in toks if t]
+                if not toks:
+                    continue  # zero-token docs yield no rows (JVM parity)
+                if len(toks) <= n:
+                    seen = sorted({" ".join(toks)})
+                else:
+                    seen = sorted({" ".join(toks[j:j + n])
+                                   for j in range(len(toks) - n + 1)})
+                out_ids.extend([ids[i]] * len(seen))
+                out_s.extend(seen)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_s, type=pa.string())], schema=schema)
+    return gen
+
+
 def shingles_exploded(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3) -> DataFrame:
     """Distinct n-word shingles as exploded ``(id, s)`` rows.
 
-    posexplode the token array, then build each shingle from ``lead()``
-    window calls over the in-document position — every expression stays in
-    whole-stage codegen. The HOF array form (word_shingles) measured 5×
-    slower at sf0.1: Catalyst evaluates ``transform`` lambdas interpreted,
-    per element, and the per-shingle ``slice`` allocates. Use THIS form
-    whenever the consumer explodes anyway (decontamination, curation);
-    the array form remains for per-doc signatures (minhash/jaccard).
+    r12 (guide §4.2, the prep-Arrow mechanism extended): generated in ONE
+    mapInArrow pass, per document — zero exchanges. The r8→r11 JVM form
+    (kept below as _shingles_exploded_jvm, equality-pinned by
+    tests/test_shingles_arrow.py) posexploded tokens through a
+    partitionBy(id) WINDOW and then took a global ``.distinct()``: one
+    exchange+sort of the whole token stream plus one exchange of the
+    whole shingle stream — per-doc work that never needed to leave its
+    scan task. The r11 curation decomposition charged 80% of that op to
+    this generator; interleaved A/B on the v3 sf10 lake:
+    scripts/probe_shingles_arrow.py.
 
-    Docs with < n tokens yield their single short shingle (pos 0), same as
-    the array form; docs with ZERO alnum tokens yield no rows (the array
-    form yields one empty-string shingle — callers that must match that
-    corner on empty docs should pre-filter them explicitly).
+    Docs with < n tokens yield their single short shingle, docs with ZERO
+    alnum tokens yield no rows — the exact JVM-form corner semantics
+    (the array form yields one empty-string shingle on empty docs;
+    callers that must match that corner pre-filter them explicitly).
+    Falls back to the JVM form for non-BIGINT id columns.
+
+    Precondition (both forms): ``id_col`` is unique per input row — the
+    window form would interleave two same-id rows' tokens into one
+    garbage document, the Arrow form would emit per-row (not per-id)
+    distinct shingles. Every caller passes a primary-keyed corpus table.
     """
+    from pyspark.sql.types import LongType
+
+    if not isinstance(df.schema[id_col].dataType, LongType):
+        return _shingles_exploded_jvm(df, id_col, text_col, n)
+    return (df.select(C(id_col).alias("id"), C(text_col).alias("text"))
+            .mapInArrow(_shingle_batches(n), "id bigint, s string"))
+
+
+def _shingles_exploded_jvm(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3) -> DataFrame:
+    """The pure-Catalyst r8→r11 form: posexplode + lead() windows +
+    global distinct (one token-stream exchange+sort, one shingle-stream
+    exchange). Kept as the Arrow form's equality reference and as the
+    fallback for non-BIGINT ids."""
     from pyspark.sql import Window
 
     toks = normalized_tokens(C(text_col))
@@ -122,7 +207,7 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     4.7 s); a 100 TB deployment checkpoints in both cases because scan
     cost, not hash cost, dominates there.
     """
-    sh = shingles_exploded(df, id_col, text_col, 3)
+    sh = _ensure_parallelism(shingles_exploded(df, id_col, text_col, 3))
     sig = sh.groupBy("id").agg(*[
         F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
         for i in range(NUM_HASHES)
@@ -317,7 +402,8 @@ def _md5_bands_and_sets(df: DataFrame, id_col: str,
     stream (the md5 hashes dominate this variant's cost — A/B in
     BASELINE.md — so the stream is materialized once and feeds both the
     signature aggregate and the verify sets)."""
-    sh = shingles_exploded(df, id_col, text_col, 3).localCheckpoint()
+    sh = _ensure_parallelism(
+        shingles_exploded(df, id_col, text_col, 3)).localCheckpoint()
     # ^ stays EAGER (r11): the lazy form materializes only under the
     # bands/sets consumers, by which point this builder scope is gone and
     # the ContextCleaner has dropped the subtree's SQL-metric accumulators
@@ -794,7 +880,7 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, shingle) pairs, which contamination keeps rare by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (shingles_exploded(docs, "doc_id", "text", 8)
+    sh = (_ensure_parallelism(shingles_exploded(docs, "doc_id", "text", 8))
           .withColumnRenamed("id", "doc_id"))
     corpus = sh.filter(C("doc_id") % 50 != 0)
     ev = (sh.filter(C("doc_id") % 50 == 0)
