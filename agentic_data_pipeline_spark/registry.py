@@ -67,66 +67,25 @@ def op(op_id: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # ordering is GENERATED each round by
 # `python scripts/evidence_rotation.py --priority` (r8 verdict items 2-3:
 # FUNCTION-granular staleness via git log -L): ops whose own def changed
-# after their last driver row lead (r11 head: the 17 ops the r11
-# optimization rewrites touched — narrow exchanges, dim-cut reorders,
-# lazy cuts, the norm/q14 broadcast fixes — then the ≤r5-evidence
-# cohort: q1_pricing_summary's newest row is r01, the temporal family
-# r03), then
+# after their last driver row lead (r12 head: the six ops whose PLANS the
+# r12 Arrow rewrites changed — curation/decontaminate/the md5-LSH twins
+# via the shingle generator, prep's scored→kept pass, q5's name-attach
+# trim; curation/the LSH twins are promoted manually because their defs
+# are unchanged — the generator can't see a cross-function dep through
+# dedup.shingles_exploded — then the ≤r5-evidence cohort the r11 verdict
+# item 7 asked drained: q1_pricing_summary's newest row is r01, the
+# temporal family r03), then
 # ops whose FILE changed around an unchanged def, then fresh ops by
 # evidence age; driver-hidden ops sit at the tail
 # so the budget window is spent entirely on oracle-checkable rows
 # (scripts/driver_preflight.py asserts this).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ext_ann_int8",
-    "ext_knn_graph_derived",
-    "ext_pagerank",
+    "ext_curation_pipeline",
+    "ext_decontaminate",
     "ext_training_prep_pipeline",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q21_waiting_suppliers",
-    "q3_shipping_priority",
-    "q4_late_shipments",
+    "ext_dedup_minhash_md5",
+    "ext_dedup_simhash_md5",
     "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "ext_semdedup_contract",
-    "ext_similarity_topk",
-    "q12_priority_by_delay",
-    "q16_part_supplier_counts",
-    "q8_market_share",
-    "q1_pricing_summary",
-    "ext_asof_join",
-    "ext_funnel",
-    "ext_gap_fill",
-    "ext_range_join",
-    "ext_retention",
-    "ext_sessionize",
-    "ext_partitioned_write",
-    "ext_sample_fixed_n",
-    "ext_temperature_sample",
-    "ext_upsample_repeat",
-    "ingest_json_multiline",
-    "ingest_schema_evolution",
-    "q_cube",
-    "q_except_all",
-    "q_intersect_all",
-    "q_join_cross",
-    "q_join_full",
-    "q_percentile",
-    "q_pivot",
-    "q_recursive_cte",
-    "q_string_agg",
-    "q_unpivot",
-    "q_window_agg",
-    "q_window_dist",
-    "q_window_nav",
-    "q_window_range",
-    "ext_lm_perplexity",
-    "ext_lm_score_holdout",
-    "ext_shard_assign",
-    "ingest_xml",
-    "ext_ann_ivf",
-    "ext_ann_lsh",
     "ext_ann_pq",
     "ext_audio_dedup_fingerprint",
     "ext_audio_features",
@@ -135,8 +94,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_decontaminate_embedding",
     "ext_dedup_components_star",
     "ext_dedup_incremental_fuzzy",
-    "ext_dedup_minhash_md5",
-    "ext_dedup_simhash_md5",
     "ext_dedup_substring",
     "ext_embed_word2vec",
     "ext_embedding_quantize",
@@ -167,8 +124,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_bpe_encode",
     "ext_bpe_merges",
     "ext_chunk_overlap",
-    "ext_curation_pipeline",
-    "ext_decontaminate",
     "ext_dedup_components",
     "ext_dedup_exact",
     "ext_dedup_passage",
@@ -296,6 +251,54 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_upsert",
     "viz_bar",
     "write_bronze",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q3_shipping_priority",
+    "q4_late_shipments",
+    "q7_volume_shipping",
+    "ext_ann_int8",
+    "ext_ann_ivf",
+    "ext_ann_lsh",
+    "ext_asof_join",
+    "ext_funnel",
+    "ext_gap_fill",
+    "ext_knn_graph_derived",
+    "ext_lm_perplexity",
+    "ext_lm_score_holdout",
+    "ext_pagerank",
+    "ext_partitioned_write",
+    "ext_range_join",
+    "ext_retention",
+    "ext_sample_fixed_n",
+    "ext_semdedup_contract",
+    "ext_sessionize",
+    "ext_shard_assign",
+    "ext_similarity_topk",
+    "ext_temperature_sample",
+    "ext_upsample_repeat",
+    "ingest_json_multiline",
+    "ingest_schema_evolution",
+    "ingest_xml",
+    "q12_priority_by_delay",
+    "q16_part_supplier_counts",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_cube",
+    "q_except_all",
+    "q_intersect_all",
+    "q_join_cross",
+    "q_join_full",
+    "q_percentile",
+    "q_pivot",
+    "q_recursive_cte",
+    "q_string_agg",
+    "q_unpivot",
+    "q_window_agg",
+    "q_window_dist",
+    "q_window_nav",
+    "q_window_range",
     "ext_dedup_minhash",
     "ext_dedup_simhash",
     "ext_dedup_minhash_clusters",
