@@ -324,10 +324,14 @@ def test_curation_pipeline_shape_r3(spark):
     p = plan_of(spark, "ext_curation_pipeline")
     assert "row_number" not in p
     assert "min_by" in p and "partial_min_by" in p
-    # windows that remain are the two shingle constructions (lead over
-    # in-doc position), whose exchange the per-doc distinct reuses
-    assert p.count("Window (") == 2
-    assert "EvalPython" not in p
+    # r12: the shingle constructions are per-doc Arrow generators inside
+    # the scan task — the two Window(+exchange) subtrees are gone
+    # entirely (plans/r12/ext_curation_pipeline_*; probe_shingles_arrow.py)
+    assert p.count("Window (") == 0
+    assert "MapInArrow" in p
+    # row-at-a-time Python never allowed; MapInArrow is the only
+    # sanctioned Python boundary (guide §4.2)
+    assert "BatchEvalPython" not in p
 
 
 def test_skew_report_is_two_phase_agg(spark):
