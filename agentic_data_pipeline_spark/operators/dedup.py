@@ -78,40 +78,97 @@ def _shingle_batches(n: int):
     one map pass, so neither the exploded token stream nor the shingle
     stream ever needs an exchange. Shingle strings are byte-identical to
     the JVM form's (RE2 '[^a-z0-9]+'→' ' == java.util.regex on the
-    printable-ASCII corpus the lake-robustness test pins; ' '.join over
-    the same token slices == concat_ws). Per-doc distinct is emitted
-    sorted so task retries reproduce identical row order."""
+    printable-ASCII corpus the lake-robustness test pins; the
+    element-wise ' ' join over the same token slices == concat_ws).
+    Per-doc distinct is emitted sorted so task retries reproduce
+    identical row order.
+
+    Fully vectorized (guide §4.3 — no per-row Python): the first Arrow
+    form looped docs in Python (to_pylist + set + ' '.join = one
+    PyString per token AND per window). This form touches no Python
+    string at all:
+
+    - tokens: RE2 normalize collapses every non-alnum run to ONE space,
+      so after a trim the plain space split IS the non-empty token list
+      (the loop form split untrimmed and filtered '' tokens — same set);
+    - window strings: the n columns of each window are shifted slices
+      of the FLAT token array, joined by binary_join_element_wise (C++);
+      a window at flat position j belongs to one doc iff
+      doc_of[j] == doc_of[j+n-1] on the repeat-vector — cross-doc
+      windows vanish with one vectorized compare;
+    - short docs (1 ≤ tokens < n): their single shingle IS the trimmed
+      doc string — reused, not rebuilt;
+    - per-doc distinct+sort: dictionary_encode the candidates, rank the
+      dictionary once with Arrow's C++ sort (byte order == Python
+      codepoint order on the [a-z0-9 ] shingle alphabet), then
+      np.unique over doc*K+rank keys — distinct AND (doc, string)-
+      ordered in one C pass, decoded back via dictionary take.
+    """
     def gen(it):
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         schema = pa.schema([pa.field("id", pa.int64()),
                             pa.field("s", pa.string())])
         for batch in it:
-            ids = batch.column("id").to_pylist()
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
             text = batch.column("text")
             if text.null_count:
                 text = pc.fill_null(text, "")  # null text → zero tokens
             low = pc.utf8_lower(text)
             norm = pc.replace_substring_regex(
                 low, pattern="[^a-z0-9]+", replacement=" ")
-            words = pc.split_pattern(norm, " ")
-            out_ids: list[int] = []
-            out_s: list[str] = []
-            for i, toks in enumerate(words.to_pylist()):
-                toks = [t for t in toks if t]
-                if not toks:
-                    continue  # zero-token docs yield no rows (JVM parity)
-                if len(toks) <= n:
-                    seen = sorted({" ".join(toks)})
-                else:
-                    seen = sorted({" ".join(toks[j:j + n])
-                                   for j in range(len(toks) - n + 1)})
-                out_ids.extend([ids[i]] * len(seen))
-                out_s.extend(seen)
+            trimmed = pc.utf8_trim(norm, " ")
+            words = pc.split_pattern(trimmed, " ")
+            lens = (pc.list_value_length(words)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            # zero-token docs split as [''] (length 1): keep that slot in
+            # the offsets (no window can span an L=1 doc for n ≥ 2, and
+            # the ~empty guard below covers n == 1), exclude it from the
+            # short-doc class
+            empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(words)
+            total = len(flat)
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            parts_s: list = []
+            parts_doc: list = []
+            if total >= n:
+                m = total - n + 1
+                cols = [flat.slice(k, m) for k in range(n)]
+                joined = pc.binary_join_element_wise(*cols, " ")
+                head = doc_of[:m]
+                valid = np.nonzero((head == doc_of[n - 1:])
+                                   & ~empty[head])[0]
+                if len(valid):
+                    parts_s.append(joined.take(pa.array(valid)))
+                    parts_doc.append(doc_of[valid])
+            short = np.nonzero(~empty & (lens < n))[0]
+            if len(short):
+                parts_s.append(trimmed.take(pa.array(short)))
+                parts_doc.append(short)
+            if not parts_s:
+                continue
+            cand = (parts_s[0] if len(parts_s) == 1
+                    else pa.concat_arrays(parts_s))
+            doc_all = (parts_doc[0] if len(parts_doc) == 1
+                       else np.concatenate(parts_doc))
+            enc = cand.dictionary_encode()
+            codes = (enc.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+            dic = enc.dictionary
+            k = len(dic)
+            order = (pc.array_sort_indices(dic)
+                     .to_numpy(zero_copy_only=False).astype(np.int64))
+            rank = np.empty(k, dtype=np.int64)
+            rank[order] = np.arange(k, dtype=np.int64)
+            ukey = np.unique(doc_all * k + rank[codes])
+            out_s = dic.take(pa.array(order[ukey % k]))
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, type=pa.int64()),
-                 pa.array(out_s, type=pa.string())], schema=schema)
+                [pa.array(ids[ukey // k], type=pa.int64()), out_s],
+                schema=schema)
     return gen
 
 

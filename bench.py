@@ -117,7 +117,16 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r12a"  # r12a: Arrow front-end for the training-prep
+PERF_EPOCH = "r12b"  # r12b: vectorized Arrow shingle generator — the
+                     # mapInArrow body builds every window string in C++
+                     # (binary_join_element_wise over shifted flat-token
+                     # slices) and does per-doc distinct+sort via
+                     # dictionary rank + np.unique, zero per-row Python
+                     # (probe_shingles_vectorized.py, checksums identical:
+                     # sf10 curation 6.60->4.70, decontaminate 7.55->4.74;
+                     # sf0.1 curation 1.51->1.21, minhash_md5 3.06->2.60).
+                     # Supersedes:
+                     # r12a: Arrow front-end for the training-prep
                      # scored→kept pass (md5 per DISTINCT word per batch
                      # via dictionary_encode + RE2 normalize; bit-identical,
                      # probe_prep_arrow.py: sf10 32.2->7.31 s, sf0.1

@@ -33,6 +33,12 @@ def test_shingles_arrow_corner_semantics(spark):
         (3, "a b c d e f g h i"),         # len 9 → two full 8-shingles
         (4, None),                        # null text → no rows
         (5, "x x x x x x x x x"),         # repeated token → 1 distinct shingle
+        # adjacent docs in one Arrow batch: the vectorized form builds
+        # windows over the FLAT token array, so a wrong validity mask
+        # would emit the spanning shingles ("q r s", "r s t", ...) —
+        # equality vs the JVM form catches any cross-doc leak
+        (6, "p q r"),
+        (7, "s t u"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for n in (3, 8):
