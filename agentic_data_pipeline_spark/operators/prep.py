@@ -249,6 +249,115 @@ _CURATION_ORACLE = r"""
 """.replace("{Q}", QUALITY_SQL)
 
 
+def _curation_q_batches(it):
+    """mapInArrow body for ext_curation_pipeline's quality branch:
+    (doc_id, lang, source, text) batches in (eval holdout already cut in
+    Catalyst, so the modulo filter stays on the scan side), quality
+    survivors (doc_id, lang, source, fp, n_tokens) out. Value-identity
+    with the Catalyst twin (_curation_q_jvm), pinned by
+    tests/test_curation_q_arrow.py incl. synthetic whitespace corners:
+
+    - whitespace classes are written out EXPLICITLY ("[ \\t\\n\\x0b\\f\\r]")
+      because RE2's \\s lacks \\x0b while java.util.regex's includes it —
+      the explicit class sidesteps the semantic gap on ANY input, not
+      just the ASCII-pinned fixture;
+    - n_words = (whitespace runs in the space-trimmed text) + 1, which
+      equals size(split(trim(text), \\s+)) for EVERY string including ''
+      (Java split('') is ['']: 0 runs + 1 = 1) — so n_tokens IS n_words
+      and both come from one RE2 count;
+    - n_punct deletes the same explicit [A-Za-z0-9 + ws] class that
+      translate() deletes, then counts codepoints;
+    - the quality double tree runs in the identical left-to-right IEEE
+      order as quality_expr; the one divergence (0-char docs: 0/0 →
+      Spark least(NaN, 1.0) = 1.0, numpy minimum = NaN) is patched
+      explicitly — either way those docs score < 0.5 and drop;
+    - fp = md5(utf-8(lower(ws-runs → ' ' on the RAW text))), computed
+      for survivors only.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ws_run = "[ \t\n\x0b\f\r]+"
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("lang", pa.string()),
+        pa.field("source", pa.string()),
+        pa.field("fp", pa.string()),
+        pa.field("n_tokens", pa.int64()),
+    ])
+    for batch in it:
+        raw = batch.column("text")
+        isnull = (pc.is_null(raw).to_numpy(zero_copy_only=False)
+                  if raw.null_count else None)
+        text = pc.fill_null(raw, "") if raw.null_count else raw
+        nchars = (pc.utf8_length(text)
+                  .to_numpy(zero_copy_only=False).astype(np.float64))
+        trimmed = pc.utf8_trim(text, " ")  # SQL trim: spaces only
+        runs = (pc.count_substring_regex(trimmed, ws_run)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        nw = runs + 1
+        npunct = (pc.utf8_length(pc.replace_substring_regex(
+            text, pattern="[A-Za-z0-9 \t\n\x0b\f\r]+", replacement=""))
+            .to_numpy(zero_copy_only=False).astype(np.float64))
+        nwd = nw.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = npunct / nchars
+        pr = np.minimum(pr, 1.0)
+        pr[np.isnan(pr)] = 1.0  # Spark least(NaN, 1.0) == 1.0
+        q = 0.4 * np.minimum(nwd / 100.0, 1.0)
+        q = q + 0.3 * (1.0 - pr)
+        q = q + 0.3 * np.minimum(nchars / nwd / 8.0, 1.0)
+        if isnull is not None:
+            # Spark least() SKIPS null operands: every component's null
+            # term collapses to its 1.0 literal, so a null-text doc
+            # scores exactly 0.4*1 + 0.3*(1-1) + 0.3*1 = 0.7 — a
+            # SURVIVOR, with null fp and null n_tokens (md5/size of
+            # null). Reproduced here; moot on the pinned lakes (no null
+            # text) but bit-identical on any input.
+            q[isnull] = 0.7
+        keep = np.nonzero(q >= 0.5)[0]
+        if not len(keep):
+            continue
+        take = pa.array(keep)
+        kept_null = isnull[keep] if isnull is not None else None
+        collapsed = pc.replace_substring_regex(
+            text.take(take), pattern=ws_run, replacement=" ")
+        lowered = pc.utf8_lower(collapsed)
+        if kept_null is None:
+            fps = [hashlib.md5(s.encode()).hexdigest()
+                   for s in lowered.to_pylist()]
+            ntok = pa.array(nw[keep], type=pa.int64())
+        else:
+            fps = [None if kn else hashlib.md5(s.encode()).hexdigest()
+                   for s, kn in zip(lowered.to_pylist(), kept_null)]
+            ntok = pa.array(nw[keep], type=pa.int64(), mask=kept_null)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id").take(take).cast(pa.int64()),
+             batch.column("lang").take(take),
+             batch.column("source").take(take),
+             pa.array(fps, type=pa.string()),
+             ntok],
+            schema=out_schema)
+
+
+def _curation_q_jvm(docs: DataFrame) -> DataFrame:
+    """The pure-Catalyst quality branch — the r11 shipped form, kept as
+    the Arrow form's equality reference (tests/test_curation_q_arrow.py)
+    and the fallback outside the ASCII regime."""
+    from .text import quality_expr, tokens
+
+    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
+                        "utf-8"))
+    return (docs.filter((C("doc_id") % 50 != 0)
+                        & (quality_expr(C("text")) >= 0.5))
+            .select("doc_id", "lang", "source", fp.alias("fp"),
+                    F.size(tokens(C("text"))).cast("bigint")
+                    .alias("n_tokens")))
+
+
 @op("ext_curation_pipeline", oracle=_CURATION_ORACLE)
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline in one plan: quality filter →
@@ -275,16 +384,18 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical double expression both engines compute (text.QUALITY_SQL).
     """
     from .dedup import shingles_exploded
-    from .text import quality_expr, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.encode(F.lower(F.regexp_replace(C("text"), r"\s+", " ")),
-                        "utf-8"))
-    # Light per-doc projection: text is reduced to fp + token count here.
-    q = (docs.filter((C("doc_id") % 50 != 0)
-                     & (quality_expr(C("text")) >= 0.5))
-         .select("doc_id", "lang", "source", fp.alias("fp"),
-                 F.size(tokens(C("text"))).cast("bigint").alias("n_tokens")))
+    # Light per-doc projection: text is reduced to fp + token count in
+    # ONE mapInArrow pass (r12 session 2, guide §4.2 — the prep-Arrow
+    # mechanism applied to the quality branch; bit-identical to
+    # _curation_q_jvm, see _curation_q_batches for the step-by-step
+    # equivalence and scripts/probe_curation_q_arrow.py for the A/B).
+    q = (docs.filter(C("doc_id") % 50 != 0)
+         .select("doc_id", "lang", "source", "text")
+         .mapInArrow(_curation_q_batches,
+                     "doc_id bigint, lang string, source string, "
+                     "fp string, n_tokens bigint"))
     ev_sh = shingles_exploded(
         docs.filter(C("doc_id") % 50 == 0), "doc_id", "text", 8)
     # Contamination over ALL non-eval docs (a superset of q — same final

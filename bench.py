@@ -117,7 +117,14 @@ SET_VERSION = "v2"
 # all-history median reported alongside. Bump the tag whenever a change
 # is expected to move headline timings (plan rewrites, conf changes,
 # query-set membership) — NOT for unrelated commits.
-PERF_EPOCH = "r12b"  # r12b: vectorized Arrow shingle generator — the
+PERF_EPOCH = "r12c"  # r12c: curation quality branch through one
+                     # mapInArrow pass (explicit java-\s classes in RE2,
+                     # identical IEEE double tree, survivor-only md5;
+                     # probe_curation_q_arrow.py, 490k survivors checksum-
+                     # identical: sf10 branch 1.46->0.96 / full op
+                     # 10.4->8.8 interleaved; sf0.1 0.44->0.33 / 1.13->1.07).
+                     # Supersedes:
+                     # r12b: vectorized Arrow shingle generator — the
                      # mapInArrow body builds every window string in C++
                      # (binary_join_element_wise over shifted flat-token
                      # slices) and does per-doc distinct+sort via

@@ -151,6 +151,18 @@ def test_documents_text_ascii_precondition():
         ).fetchone()
         assert not bad, f"{sf}: {bad} non-ASCII documents.text rows"
         assert not nul, f"{sf}: {nul} trailing-NUL documents.text rows"
+        # r12: the curation quality branch (both the Catalyst twin and
+        # the Arrow form) divides by n_chars — zero-length text would
+        # ANSI-error one form and NaN-drop the other, so the equivalence
+        # rests on this precondition failing loudly (see
+        # tests/test_curation_q_arrow.py::test_curation_q_empty_text_is_out_of_contract)
+        n_empty, n_null = con.execute(
+            "SELECT sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), "
+            "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()
+        assert not n_empty, f"{sf}: {n_empty} empty documents.text rows"
+        assert not n_null, f"{sf}: {n_null} NULL documents.text rows"
 
 
 def test_lineitem_part_fk_precondition():
