@@ -452,6 +452,81 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a_id", "b_id")
 
 
+def _md5_sig_batches(it):
+    """mapInArrow body for the md5-minhash signature: (id, s) shingle
+    batches in, per-batch per-id PARTIAL minima (id, h0..h31) out — the
+    downstream groupBy(id).min() merges partials exactly like any
+    map-side combine, so splitting a doc's shingles across batches
+    cannot change the signature (min is associative/commutative).
+
+    The hash family is h_i(s) = int(md5(f"{i}:{s}")[:15 hex], 16) — the
+    prep-Arrow dictionary trick (guide §4.2) applied at two levels:
+    within a batch each DISTINCT shingle is hashed once
+    (dictionary_encode), and a per-TASK cache carries the 32-vector
+    across batches (md5 is pure; on a Zipfian shingle stream the task
+    dictionary ≪ the row stream — within-execution memoization, never
+    cross-run). Per-id minima come from one reduceat over the id-sorted
+    gather — no per-row Python."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    cache: dict[str, np.ndarray] = {}
+    prefixes = [f"{i}:".encode() for i in range(NUM_HASHES)]
+
+    def hvec(s: str) -> np.ndarray:
+        v = cache.get(s)
+        if v is None:
+            b = s.encode()
+            v = np.array(
+                [int(hashlib.md5(p + b).hexdigest()[:15], 16)
+                 for p in prefixes], dtype=np.int64)
+            cache[s] = v
+        return v
+
+    out_schema = pa.schema(
+        [pa.field("id", pa.int64())]
+        + [pa.field(f"h{i}", pa.int64()) for i in range(NUM_HASHES)])
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        enc = batch.column("s").dictionary_encode()
+        codes = (enc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        hdist = np.stack([hvec(s) for s in enc.dictionary.to_pylist()])
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        starts = np.nonzero(
+            np.concatenate(([True], sids[1:] != sids[:-1])))[0]
+        mins = np.minimum.reduceat(hdist[codes[order]], starts, axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(sids[starts], type=pa.int64())]
+            + [pa.array(mins[:, i], type=pa.int64())
+               for i in range(NUM_HASHES)],
+            schema=out_schema)
+
+
+def _md5_sig_jvm(sh: DataFrame) -> DataFrame:
+    """The pure-Catalyst signature aggregate — the r8→r12a shipped form,
+    kept as the Arrow form's equality reference
+    (tests/test_md5_sig_arrow.py): 32 md5+conv expressions per shingle
+    ROW (~832M JVM md5s at sf10, measured 36.6 s of the op)."""
+    def h(i: int) -> Column:
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), C("s"))), 1, 15), 16, 10) \
+            .cast("bigint")
+
+    return sh.groupBy("id").agg(*[
+        F.min(h(i)).alias(f"h{i}") for i in range(NUM_HASHES)
+    ])
+
+
+_SIG_ARROW_SCHEMA = "id bigint, " + ", ".join(
+    f"h{i} bigint" for i in range(NUM_HASHES))
+
+
 def _md5_bands_and_sets(df: DataFrame, id_col: str,
                         text_col: str) -> tuple[DataFrame, DataFrame]:
     """Shared md5-family LSH construction: per-doc (band, band-hash) rows
@@ -470,14 +545,16 @@ def _md5_bands_and_sets(df: DataFrame, id_col: str,
     # OPTIMIZATION_r11.md). The other lazy pins materialize while their
     # builder is alive and stay quiet.
 
-    def h(i: int) -> Column:
-        return F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{i}:"), C("s"))), 1, 15), 16, 10) \
-            .cast("bigint")
-
-    sig = sh.groupBy("id").agg(*[
-        F.min(h(i)).alias(f"h{i}") for i in range(NUM_HASHES)
-    ])
+    # r12 session 2: the signature hashes run through one mapInArrow
+    # pass emitting per-batch per-id partial minima (_md5_sig_batches —
+    # md5 per distinct shingle per task, not per (row × 32)); the final
+    # groupBy merges partials. Bit-identical (integers; min associative),
+    # pinned by tests/test_md5_sig_arrow.py, A/B in
+    # scripts/probe_md5_sig_arrow.py.
+    sig = (sh.mapInArrow(_md5_sig_batches, _SIG_ARROW_SCHEMA)
+           .groupBy("id").agg(*[
+               F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)
+           ]))
     bands = sig.select(
         "id",
         F.explode(F.array(*[
