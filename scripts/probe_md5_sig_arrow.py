@@ -110,9 +110,14 @@ def main() -> None:
                 try:
                     b().write.format("noop").mode("overwrite").save()
                     res[k] = min(res[k], time.monotonic() - t0)
-                except Exception as e:  # noqa: BLE001 — record, don't hide
+                except Exception as e:  # noqa: BLE001 — record, don't
+                    # hide; keep timing the OTHER variant (the sf10 run
+                    # of 2026-08-18 hit a transient OOM on the JVM
+                    # variant here and the old `break` skipped the
+                    # arrow arm — its 211.3 s figure was re-measured
+                    # standalone on a fresh session, where the JVM
+                    # variant completed at 334.0 s)
                     res[k] = f"ERR {str(e).splitlines()[0][:160]}"
-                    break
         out[label] = {k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in res.items()}
         print(label, out[label], flush=True)
